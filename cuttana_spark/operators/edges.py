@@ -1,0 +1,175 @@
+"""Edge derivation: transcripts / events → (src, dst, weight) edge tables.
+
+Reference parity note: the reference ingests a pre-built adjacency CSV
+(/root/reference/src/stream.rs:23-55). Our engine *derives* the graph from
+relational tables (BASELINE.json north_star): the derivation is a pure
+declarative DataFrame plan — window + lag + filter + groupBy — so Catalyst
+gets predicate pushdown, column pruning and whole-stage codegen for free.
+No Python UDFs anywhere on this path.
+
+Scale notes (100 TB / 10^12 turns):
+  * the lag-window shuffles once on conv_id — the natural key, no skew
+    (conversations are bounded at ~40 turns);
+  * turn↔tool edges are a filter, no shuffle;
+  * the weight aggregation is a single hash aggregate with map-side partial
+    aggregation;
+  * id densification by global sort does NOT scale — it exists for
+    fixture-sized graphs where the DuckDB oracle needs reproducible dense
+    ids. At scale use ``mode="hash"`` (xxhash64, collision-checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def _turn_key():
+    return F.format_string("turn|%s|%05d", F.col("conv_id"), F.col("turn_idx"))
+
+
+def transcript_edge_keys(transcripts: DataFrame) -> DataFrame:
+    """Undirected edge table keyed by string node keys.
+
+    Edges (FIXTURES.md §2): consecutive turns within a conversation, and
+    turn↔tool where tool IS NOT NULL; canonicalized (least, greatest);
+    weights summed over duplicate pairs.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    turns = transcripts.select("conv_id", "turn_idx", "tool").withColumn("node_key", _turn_key())
+
+    consec = (
+        turns.withColumn("prev_key", F.lag("node_key").over(w))
+        .filter(F.col("prev_key").isNotNull())
+        .select(F.col("prev_key").alias("a"), F.col("node_key").alias("b"))
+    )
+    tool_edges = turns.filter(F.col("tool").isNotNull()).select(
+        F.col("node_key").alias("a"),
+        F.format_string("tool|%s", F.col("tool")).alias("b"),
+    )
+    return (
+        consec.unionAll(tool_edges)
+        .select(
+            F.least("a", "b").alias("src_key"),
+            F.greatest("a", "b").alias("dst_key"),
+        )
+        .groupBy("src_key", "dst_key")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def node_ids(edge_keys: DataFrame, mode: str = "sort") -> DataFrame:
+    """Node dictionary (node_key, vid).
+
+    mode="sort": dense rank over globally sorted distinct keys — exact,
+    reproducible, single-partition window; fixture/oracle scale only.
+    mode="hash": xxhash64 — the 100 TB path; caller should collision-check
+    (``check_hash_collisions``).
+    """
+    keys = (
+        edge_keys.select(F.col("src_key").alias("node_key"))
+        .unionAll(edge_keys.select(F.col("dst_key").alias("node_key")))
+        .distinct()
+    )
+    if mode == "hash":
+        return keys.select("node_key", F.xxhash64("node_key").alias("vid"))
+    w = Window.orderBy("node_key")
+    return keys.select("node_key", (F.row_number().over(w) - 1).cast("long").alias("vid"))
+
+
+def check_hash_collisions(nodes: DataFrame) -> int:
+    """Number of colliding vids under hash mode (must be 0)."""
+    return (
+        nodes.groupBy("vid").agg(F.countDistinct("node_key").alias("n")).filter("n > 1").count()
+    )
+
+
+def to_edge_ids(edge_keys: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(src, dst, weight) with long vids, src < dst canonical order.
+
+    The node dictionary is tiny relative to the edge table → broadcast both
+    joins (no shuffle of the big side).
+    """
+    n_src = F.broadcast(nodes.withColumnRenamed("node_key", "src_key").withColumnRenamed("vid", "src"))
+    n_dst = F.broadcast(nodes.withColumnRenamed("node_key", "dst_key").withColumnRenamed("vid", "dst"))
+    return (
+        edge_keys.join(n_src, "src_key")
+        .join(n_dst, "dst_key")
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        )
+    )
+
+
+def transcript_edges(transcripts: DataFrame, mode: str = "sort") -> tuple[DataFrame, DataFrame]:
+    """Full derivation: returns (nodes, edges) with long ids."""
+    keys = transcript_edge_keys(transcripts)
+    nodes = node_ids(keys, mode=mode)
+    return nodes, to_edge_ids(keys, nodes)
+
+
+def events_sequence_edges(events: DataFrame) -> DataFrame:
+    """Event-type transition graph: consecutive events per user by (ts, event_id).
+
+    Node = event_type; edge (a, b) = a user produced type a then type b
+    consecutively; weight = number of such transitions. SQL-expressible —
+    this derivation has a matching DuckDB oracle in __spark_entry__.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select(
+            F.least("prev_type", "event_type").alias("src_key"),
+            F.greatest("prev_type", "event_type").alias("dst_key"),
+        )
+        .groupBy("src_key", "dst_key")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def events_user_type_edges(events: DataFrame) -> DataFrame:
+    """Bipartite user↔event_type interaction edges (hub-skewed by design:
+    event types are high-degree hubs — exercises salting/AQE downstream)."""
+    return (
+        events.select(
+            F.format_string("user|%d", F.col("user_id")).alias("src_key"),
+            F.format_string("type|%s", F.col("event_type")).alias("dst_key"),
+        )
+        .groupBy("src_key", "dst_key")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def events_graph(events: DataFrame, mode: str = "sort") -> tuple[DataFrame, DataFrame]:
+    """User↔type bipartite graph with long ids (analytics test graph)."""
+    keys = events_user_type_edges(events)
+    nodes = node_ids(keys, mode=mode)
+    return nodes, to_edge_ids(keys, nodes)
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """(src, dst, weight) undirected → both directions (directed view)."""
+    return edges.select("src", "dst", "weight").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+
+
+def adjacency(edges: DataFrame) -> DataFrame:
+    """Symmetric adjacency (src, nbrs sorted array) — the reference's
+    VertexStream shape (/root/reference/src/stream.rs:11)."""
+    return (
+        symmetrize(edges)
+        .groupBy("src")
+        .agg(F.array_sort(F.collect_list("dst")).alias("nbrs"))
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(vertex, degree) from an undirected canonical edge table."""
+    return (
+        symmetrize(edges)
+        .groupBy(F.col("src").alias("vertex"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
