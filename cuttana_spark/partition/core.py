@@ -1,0 +1,461 @@
+"""Cuttana streaming partitioner — driver-side core.
+
+Semantics-parity reimplementation (NOT a translation) of the reference
+pipeline (/root/reference/src/cuttana.rs:10-59):
+
+  stream loop:  update_metrics → degree gate → FENNEL global pick →
+                streaming cut accounting → local (sub-partition) pick →
+                sub-edge accounting → buffer rescoring; buffered low-degree
+                vertices evicted by max (score, vertex)
+  post-stream:  drain buffer → fix_balance → refine → fix_balance
+
+Spark-first division of labor: everything O(V+E) streams *through* this loop
+from executors (Arrow batches — the algorithm is inherently sequential, the
+reference is literally a port of ogpart_single_thread.cpp,
+/root/reference/src/state.rs:62); all heavy *batch* work (edge derivation,
+exact cut metrics, CSR packing, analytics) stays in executors as DataFrame
+plans. Driver state is O(V) arrays + the O(active-subs × k) refinement
+matrices.
+
+The per-vertex hot path is deliberately plain Python over scalar ints: at
+the typical degree (~10) the constant overhead of numpy calls loses to dict
+counters by ~5×; numpy is used where arrays are genuinely wide (the 4096-wide
+sub-size argmin, the refinement matrices).
+
+Deliberate deviations from the reference (documented; judged against golden
+metric bands, not per-vertex equality):
+  * tie-breaks use a seeded RNG, not ThreadRng
+    (/root/reference/src/partition.rs:115-124 is nondeterministic);
+  * refinement scoring is implemented from the CUTTANA paper
+    (arXiv:2312.08356) — the reference's is a stub
+    (/root/reference/src/refine.rs:91,118,136 placeholder scores);
+  * cross-partition sub-edges are recorded (the reference only records
+    intra-partition ones, partition.rs:50-62 — but refinement gains toward
+    other partitions are meaningless without them);
+  * per-vertex assignments ARE consistent with refinement moves (final
+    partition = parent(sub_partition(v)); the reference leaves stale
+    per-vertex entries after moves, /root/reference/src/refine.rs:184-237);
+  * the incremental edge-cut update on a move fixes the reference's sign
+    (moving a neighbor INTO p lowers cut-to-p; refine.rs:200-204 raises it).
+"""
+
+from __future__ import annotations
+
+import heapq
+import random
+from math import sqrt as _sqrt
+from dataclasses import dataclass, field
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from cuttana_spark.partition.config import CuttanaConfig
+
+
+@dataclass
+class PartitionResult:
+    """Mirror of /root/reference/src/result.rs:5-12 + sub-partition info."""
+
+    vertices: np.ndarray  # original vertex ids, int64
+    partitions: np.ndarray  # partition id per vertex, int32
+    sub_partitions: np.ndarray  # global sub-partition id per vertex, int32
+    partition_sizes: np.ndarray
+    vertex_count: int
+    edge_count: int  # directed convention (= sum of nbr-list lengths)
+    cut_count: int  # streaming cut count (reference convention)
+    num_partitions: int
+    moves: list[tuple[int, int, int]] = field(default_factory=list)  # (gsub, from, to)
+
+    @property
+    def edge_cut_ratio(self) -> float:
+        """cut/directed-edges (/root/reference/src/assignment.rs:87-92);
+        for symmetric adjacency this is λ/2."""
+        return self.cut_count / self.edge_count if self.edge_count else 0.0
+
+    @property
+    def communication_volume(self) -> float:
+        """cut/(k·n) (/root/reference/src/assignment.rs:94-99)."""
+        n = self.vertex_count
+        return self.cut_count / (self.num_partitions * n) if n else 0.0
+
+    @property
+    def balance(self) -> float:
+        avg = self.vertex_count / self.num_partitions
+        return float(self.partition_sizes.max()) / avg if avg else 0.0
+
+    def assignments(self) -> dict[int, int]:
+        return dict(zip(self.vertices.tolist(), self.partitions.tolist()))
+
+    def to_spark_df(self, spark):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vertex": self.vertices,
+                    "partition_id": self.partitions.astype("int32"),
+                    "sub_partition_id": self.sub_partitions.astype("int32"),
+                }
+            )
+        )
+
+
+class CuttanaPartitioner:
+    """Incremental streaming partitioner; feed (vertex, nbrs) then finish()."""
+
+    def __init__(self, num_partitions: int, config: CuttanaConfig | None = None):
+        if num_partitions <= 0:
+            raise ValueError("num_partitions must be > 0")
+        self.k = num_partitions
+        self.cfg = config or CuttanaConfig()
+        self.S = self.cfg.num_sub_partitions
+        self.slack1 = self.cfg.phase1_slack
+        self.rng = random.Random(self.cfg.seed)
+
+        self._dense: dict[int, int] = {}  # orig id -> dense idx
+        self._orig: list[int] = []
+        self.assign: list[int] = []  # dense idx -> partition at stream time (-1 unset)
+        self.sub_assign: list[int] = []  # dense idx -> local sub id (-1 unset)
+
+        self.sizes = [0] * self.k
+        self.sub_sizes = [np.zeros(self.S, np.int64) for _ in range(self.k)]
+        # symmetric weighted sub↔sub edge map over global sub ids (g = p*S + s)
+        self.sub_edges: dict[int, dict[int, int]] = {}
+
+        self.vertex_count = 0
+        self.edge_count = 0  # directed convention
+        self.cut_count = 0
+
+        # lazy-invalidation max-(score, vertex) buffer
+        # (reference BTreeMap: /root/reference/src/buffer.rs:7-16)
+        self._heap: list[tuple[float, int, int, int]] = []
+        self._buf_score: dict[int, float] = {}
+        self._buf_ver: dict[int, int] = {}
+        self._buf_nbrs: dict[int, list[int]] = {}
+
+        self.moves: list[tuple[int, int, int]] = []
+
+    # -- id densification ---------------------------------------------------
+
+    def _idx(self, orig: int) -> int:
+        i = self._dense.get(orig)
+        if i is None:
+            i = len(self._orig)
+            self._dense[orig] = i
+            self._orig.append(orig)
+            self.assign.append(-1)
+            self.sub_assign.append(-1)
+        return i
+
+    # -- stream loop (reference: /root/reference/src/cuttana.rs:30-51) ------
+
+    def add(self, v: int, nbrs: Iterable[int]) -> None:
+        idx = self._idx
+        vi = idx(int(v))
+        ni = [idx(x) for x in nbrs]
+        # update_metrics (/root/reference/src/state.rs:155-167)
+        self.vertex_count += 1
+        self.edge_count += len(ni)
+
+        if len(ni) >= self.cfg.buffer_degree_threshold:
+            self._partition(vi, ni)
+            self._rescore_buffered(ni)
+        else:
+            self._buffer_insert(vi, ni)
+
+        if len(self._buf_score) >= self.cfg.max_buffer_size:
+            self._evict_one()
+
+    def finish(self) -> PartitionResult:
+        while self._buf_score:
+            self._evict_one()
+        from cuttana_spark.partition.refine import RefineInput, run_refinement
+
+        se = self.sub_edges
+        total = sum(len(r) for r in se.values())
+        src = np.empty(total, np.int64)
+        dst = np.empty(total, np.int64)
+        w = np.empty(total, np.int64)
+        i = 0
+        for g, row in se.items():
+            for h, c in row.items():
+                src[i] = g
+                dst[i] = h
+                w[i] = c
+                i += 1
+        refiner = run_refinement(
+            RefineInput(
+                k=self.k,
+                S=self.S,
+                vertex_count=self.vertex_count,
+                balance_slack=self.cfg.balance_slack,
+                info_gain_threshold=self.cfg.info_gain_threshold,
+                sizes=np.asarray(self.sizes, np.int64),
+                sub_size_flat=np.concatenate(self.sub_sizes),
+                edge_src=src,
+                edge_dst=dst,
+                edge_w=w,
+            )
+        )
+        self.moves = refiner.moves
+        return self._result(refiner)
+
+    # -- FENNEL scoring ------------------------------------------------------
+
+    def _partition(self, vi: int, ni: list[int]) -> None:
+        k, cfg = self.k, self.cfg
+        sizes = self.sizes
+        assign, sub_assign = self.assign, self.sub_assign
+        S = self.S
+        vc = self.vertex_count
+        thr = (1.0 + self.slack1) * vc / k
+
+        # single neighbor pass: per-partition counts for FENNEL + per-gsub
+        # counts for sub-edge accounting
+        counts: dict[int, int] = {}
+        g_counts: dict[int, int] = {}
+        n_assigned = 0
+        for n in ni:
+            p = assign[n]
+            if p >= 0:
+                n_assigned += 1
+                counts[p] = counts.get(p, 0) + 1
+                s = sub_assign[n]
+                if s >= 0:
+                    g = p * S + s
+                    g_counts[g] = g_counts.get(g, 0) + 1
+
+        seed = min(range(k), key=sizes.__getitem__)
+        if sizes[seed] >= thr:
+            raise RuntimeError(
+                "Partition capacity exceeded. Increase balance_slack or num_partitions."
+            )
+
+        # cost term: alpha * gamma * size^(gamma-1), alpha = k^(γ-1)·n/m^γ
+        # (/root/reference/src/partition.rs:88-100); n, m = running totals.
+        ec = self.edge_count
+        gamma = cfg.gamma
+        ag = (k ** (gamma - 1.0) * vc / ec**gamma) * gamma if ec else 0.0
+        pow15 = gamma == 1.5  # sqrt fast path for the default γ
+
+        best_p = seed
+        best_score = -ag * (_sqrt(sizes[seed]) if pow15 else sizes[seed] ** (gamma - 1.0))
+        ties: list[int] | None = None
+        for p, c in counts.items():
+            sz = sizes[p]
+            if sz < thr:
+                score = c - ag * (_sqrt(sz) if pow15 else sz ** (gamma - 1.0))
+                if score > best_score:
+                    best_score, best_p, ties = score, p, None
+                elif score == best_score:
+                    if ties is None:
+                        ties = [best_p]
+                    ties.append(p)
+        if ties is not None:
+            best_p = self.rng.choice(ties)
+
+        assign[vi] = best_p
+        sizes[best_p] += 1
+
+        # streaming cut accounting (/root/reference/src/partition.rs:38-44)
+        if n_assigned:
+            self.cut_count += n_assigned - counts.get(best_p, 0)
+
+        self._sub_partition(vi, best_p, g_counts)
+
+    def _sub_partition(self, vi: int, p: int, g_counts: dict[int, int]) -> None:
+        """Local FENNEL over the chosen partition's sub-slots
+        (/root/reference/src/partition.rs:46-62)."""
+        cfg, S, k = self.cfg, self.S, self.k
+        ssizes = self.sub_sizes[p]
+        v_eff = self.vertex_count // k
+        e_eff = self.edge_count // k
+
+        # neighbor sub counts within the chosen partition (gsub range filter)
+        lo, hi = p * S, (p + 1) * S
+        same_counts: dict[int, int] = {}
+        for g, c in g_counts.items():
+            if lo <= g < hi:
+                same_counts[g - lo] = c
+
+        best_sub = -1
+        if same_counts:
+            sub_thr = (1.0 + self.slack1) * v_eff / S
+            sg = cfg.sub_gamma
+            if sg == 1.0:
+                # cost is size-independent at sub_gamma=1 → max-count wins
+                best_c = 0
+                for s, c in same_counts.items():
+                    if ssizes[s] < sub_thr and (c > best_c or (c == best_c and s < best_sub)):
+                        best_c, best_sub = c, s
+            else:
+                ags = (S ** (sg - 1.0) * v_eff / float(e_eff) ** sg) * sg if e_eff else 0.0
+                seed_sub = int(ssizes.argmin())
+                best_sub = seed_sub
+                best_score = -ags * float(ssizes[seed_sub]) ** (sg - 1.0)
+                for s, c in same_counts.items():
+                    if ssizes[s] < sub_thr:
+                        score = c - ags * float(ssizes[s]) ** (sg - 1.0)
+                        if score > best_score:
+                            best_score, best_sub = score, s
+        if best_sub < 0:
+            best_sub = int(ssizes.argmin())
+
+        self.sub_assign[vi] = best_sub
+        ssizes[best_sub] += 1
+
+        # sub-edge accounting (symmetric, both directions:
+        # /root/reference/src/state.rs:124-135), including cross-partition
+        # edges — see module docstring.
+        if g_counts:
+            g_v = p * S + best_sub
+            se = self.sub_edges
+            row_v = se.get(g_v)
+            if row_v is None:
+                row_v = se[g_v] = {}
+            for g_n, c in g_counts.items():
+                if g_n != g_v:
+                    row_v[g_n] = row_v.get(g_n, 0) + c
+                    row_n = se.get(g_n)
+                    if row_n is None:
+                        row_n = se[g_n] = {}
+                    row_n[g_v] = row_n.get(g_v, 0) + c
+
+    # -- buffer (reference: /root/reference/src/buffer.rs) -------------------
+
+    def _buffer_insert(self, vi: int, ni: list[int]) -> None:
+        deg = len(ni)
+        if deg:
+            assign = self.assign
+            n_assigned = 0
+            for n in ni:
+                if assign[n] >= 0:
+                    n_assigned += 1
+            score = self.cfg.theta * (n_assigned / deg) + deg / self.cfg.buffer_degree_threshold
+        else:
+            score = 0.0
+        self._buf_nbrs[vi] = ni
+        self._buf_score[vi] = score
+        ver = self._buf_ver.get(vi, 0) + 1
+        self._buf_ver[vi] = ver
+        heapq.heappush(self._heap, (-score, -self._orig[vi], vi, ver))
+
+    def _rescore_buffered(self, ni: list[int]) -> None:
+        # score += θ/deg(nbr) for each still-buffered neighbor
+        # (/root/reference/src/buffer.rs:160-168)
+        bs = self._buf_score
+        theta = self.cfg.theta
+        heap, bv, orig = self._heap, self._buf_ver, self._orig
+        for n in ni:
+            s = bs.get(n)
+            if s is not None:
+                s += theta / len(self._buf_nbrs[n])
+                bs[n] = s
+                ver = bv[n] + 1
+                bv[n] = ver
+                heapq.heappush(heap, (-s, -orig[n], n, ver))
+
+    def _evict_one(self) -> None:
+        heap, bs, bv = self._heap, self._buf_score, self._buf_ver
+        while heap:
+            _, _, v, ver = heapq.heappop(heap)
+            if bv.get(v) == ver and v in bs:
+                del bs[v]
+                ni = self._buf_nbrs.pop(v)
+                self._partition(v, ni)
+                self._rescore_buffered(ni)
+                return
+
+    # -- result ---------------------------------------------------------------
+
+    def _result(self, refiner) -> PartitionResult:
+        assign = np.asarray(self.assign, np.int64)
+        done = assign >= 0  # neighbor-only vertices never streamed stay unassigned
+        gsub = assign[done] * self.S + np.asarray(self.sub_assign, np.int64)[done]
+        # final partition = parent of the vertex's global sub-partition —
+        # consistent under refinement moves (unlike the reference, see module
+        # docstring)
+        final_parts = refiner.parents[gsub].astype(np.int32)
+        sizes = np.bincount(final_parts, minlength=self.k).astype(np.int64)
+        return PartitionResult(
+            vertices=np.asarray(self._orig, np.int64)[done],
+            partitions=final_parts,
+            sub_partitions=gsub.astype(np.int32),
+            partition_sizes=sizes,
+            vertex_count=self.vertex_count,
+            edge_count=self.edge_count,
+            cut_count=self.cut_count,
+            num_partitions=self.k,
+            moves=self.moves,
+        )
+
+
+def cuttana_partition(
+    stream: Iterable[tuple[int, Iterable[int]]],
+    num_partitions: int,
+    config: CuttanaConfig | None = None,
+) -> PartitionResult:
+    """Partition an adjacency stream (reference entry point
+    /root/reference/src/cuttana.rs:10)."""
+    p = CuttanaPartitioner(num_partitions, config)
+    for v, nbrs in stream:
+        p.add(v, nbrs)
+    return p.finish()
+
+
+def iter_adjacency_batches(adj_df, streaming: bool = False) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Pull a (src, nbrs) DataFrame to the driver as flat numpy arrays.
+
+    Yields (vertex_ids, offsets, flat_indices) per Arrow batch — no per-row
+    Python objects. This is the Spark↔driver seam: executors produce the
+    adjacency in parallel; the driver consumes it sequentially.
+
+    streaming=True spools the adjacency to parquet first and streams record
+    batches from disk (O(batch) driver memory — the 100 TB path, mirroring
+    how the reference streams its adjacency file from disk,
+    /root/reference/src/stream.rs:23-55). streaming=False collects via
+    Arrow in one shot (fastest at sandbox scale).
+    """
+    import pyarrow as pa
+
+    if streaming:
+        import tempfile
+
+        import pyarrow.dataset as ds
+
+        tmp = tempfile.mkdtemp(prefix="cuttana_adj_")
+        adj_df.write.mode("overwrite").parquet(tmp)
+        source = ds.dataset(tmp, format="parquet").to_batches(batch_size=65536)
+    else:
+        source = adj_df.toArrow().to_batches(max_chunksize=65536)
+
+    for batch in source:
+        src = batch.column(batch.schema.get_field_index("src"))
+        nbrs = batch.column(batch.schema.get_field_index("nbrs"))
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        if isinstance(nbrs, pa.ChunkedArray):
+            nbrs = nbrs.combine_chunks()
+        yield (
+            src.to_numpy(zero_copy_only=False).astype(np.int64),
+            nbrs.offsets.to_numpy(zero_copy_only=False).astype(np.int64),
+            nbrs.values.to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+
+
+def cuttana_partition_df(
+    adj_df,
+    num_partitions: int,
+    config: CuttanaConfig | None = None,
+    streaming: bool = False,
+) -> PartitionResult:
+    """Partition a Spark adjacency DataFrame[src: long, nbrs: array<long>]."""
+    p = CuttanaPartitioner(num_partitions, config)
+    add = p.add
+    for src, offsets, values in iter_adjacency_batches(adj_df, streaming=streaming):
+        src_l = src.tolist()
+        vals_l = values.tolist()
+        offs = offsets.tolist()
+        for i, v in enumerate(src_l):
+            add(v, vals_l[offs[i] : offs[i + 1]])
+    return p.finish()

@@ -1,0 +1,137 @@
+"""Partitioner parity tests vs the measured reference baseline (BASELINE.md).
+
+The reference tie-breaks with an unseeded ThreadRng
+(/root/reference/src/partition.rs:115-124), so parity targets are metric
+tolerance bands (±10%), not per-vertex assignment equality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cuttana_spark import transcripts
+from cuttana_spark.partition import CuttanaConfig, cuttana_partition
+from cuttana_spark.partition.batched import cuttana_partition_batched
+
+
+def _ba(n, m=5, seed=42):
+    import networkx as nx
+
+    G = nx.barabasi_albert_graph(n, m, seed=seed)
+    return [(v, sorted(G.neighbors(v))) for v in sorted(G.nodes())]
+
+
+def _transcript_adj():
+    edges = transcripts.expected_edges(2000)
+    keys = sorted({v for e in edges for v in e})
+    kid = {k: i for i, k in enumerate(keys)}
+    adj: dict[int, list[int]] = {i: [] for i in range(len(keys))}
+    for a, b in edges:
+        adj[kid[a]].append(kid[b])
+        adj[kid[b]].append(kid[a])
+    return [(v, sorted(ns)) for v, ns in sorted(adj.items())]
+
+
+GOLDEN = {
+    # (graph, k): reference edge_cut_ratio measured in BASELINE.md
+    ("ba10k", 4): 0.2548,
+    ("ba10k", 16): 0.3439,
+    ("transcripts", 4): 0.0758,
+    ("transcripts", 16): 0.0947,
+}
+
+
+def test_path3_reference_unit_test():
+    """/root/reference/tests/partition_tests.rs:7-17 — vertex_count==3,
+    edge_count==4 (directed convention)."""
+    res = cuttana_partition([(0, [1, 2]), (1, [0]), (2, [0])], 16)
+    assert res.vertex_count == 3
+    assert res.edge_count == 4
+    assert set(res.vertices.tolist()) == {0, 1, 2}
+
+
+@pytest.fixture(scope="module")
+def ba10k():
+    return _ba(10_000)
+
+
+@pytest.fixture(scope="module")
+def tadj():
+    return _transcript_adj()
+
+
+@pytest.mark.parametrize("k", [4, 16])
+def test_ba10k_golden_band(ba10k, k):
+    res = cuttana_partition(ba10k, k)
+    golden = GOLDEN[("ba10k", k)]
+    assert res.edge_cut_ratio == pytest.approx(golden, rel=0.10)
+    # balance bound: phase-1 slack is doubled (state.rs:61-63) but
+    # fix_balance enforces max_parent = (n/k)(1+slack)+1
+    assert res.partition_sizes.max() <= int(10_000 / k * 1.05) + 1
+    assert res.partition_sizes.sum() == 10_000
+
+
+@pytest.mark.parametrize("k", [4, 16])
+def test_transcripts_golden_band(tadj, k):
+    res = cuttana_partition(tadj, k)
+    golden = GOLDEN[("transcripts", k)]
+    assert res.vertex_count == 42193
+    assert res.edge_count == 2 * 52726
+    assert res.edge_cut_ratio == pytest.approx(golden, rel=0.10)
+
+
+@pytest.mark.parametrize("k", [4, 16])
+def test_batched_matches_bands(ba10k, k):
+    """The vectorized mini-batch drain must stay inside the same quality
+    bands (it typically beats the sequential cut slightly)."""
+    res = cuttana_partition_batched(ba10k, k, batch_size=1024)
+    golden = GOLDEN[("ba10k", k)]
+    assert res.edge_cut_ratio <= golden * 1.10
+    assert res.partition_sizes.max() <= int(10_000 / k * 1.05) + 1
+    assert res.partition_sizes.sum() == 10_000
+
+
+def test_deterministic_runs(ba10k):
+    a = cuttana_partition(ba10k, 4)
+    b = cuttana_partition(ba10k, 4)
+    assert np.array_equal(a.partitions, b.partitions)
+    assert a.cut_count == b.cut_count
+
+
+def test_every_vertex_assigned_exactly_once(ba10k):
+    res = cuttana_partition(ba10k, 8)
+    assert res.vertices.shape[0] == 10_000
+    assert np.unique(res.vertices).shape[0] == 10_000
+    assert ((res.partitions >= 0) & (res.partitions < 8)).all()
+    # sub-partition parent consistency: gsub // S lies in [0, k)
+    assert ((res.sub_partitions >= 0) & (res.sub_partitions < 8 * 4096)).all()
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        CuttanaConfig(balance_slack=-0.1)
+    with pytest.raises(ValueError):
+        cuttana_partition([], 0)
+
+
+def test_exact_cut_vs_streaming_cut(ba10k):
+    """Streaming cut (reference convention) equals the exact recount for the
+    sequential core — each undirected edge is counted at its later endpoint.
+    After refinement moves the exact cut may differ; recount from final
+    assignment must never exceed the pre-refinement streaming count by more
+    than the refinement could explain; here we check the exact recount
+    directly against a numpy oracle."""
+    res = cuttana_partition(ba10k, 4)
+    part_of = dict(zip(res.vertices.tolist(), res.partitions.tolist()))
+    cut = 0
+    total = 0
+    for v, nbrs in ba10k:
+        for nb in nbrs:
+            total += 1
+            if part_of[v] != part_of[nb]:
+                cut += 1
+    exact_ratio = cut / total
+    # the reported (streaming) ratio is close to the exact one; refinement
+    # only improves or preserves it up to balance moves
+    assert exact_ratio <= res.edge_cut_ratio * 1.05 + 1e-9
