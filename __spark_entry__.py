@@ -1,9 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json).
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Conventions used so Spark and DuckDB hash identically:
+  * money/quantity aggregates go through DECIMAL (exact, engine-independent);
+  * floating scores are scaled+rounded to BIGINT (e.g. round(score*1e12));
+  * hashes are the portable md5-prefix-to-bigint (identical expressions);
+  * timestamps are never returned raw — epoch seconds instead.
+
+Non-SQL-expressible ops (iterative CC/LPA at convergence, partitioner,
+CSR PageRank, multimodal) are registered without oracles → rows-only checks;
+their exactness is covered by tests/ against networkx / numpy oracles.
 """
 
 from __future__ import annotations
@@ -17,42 +27,56 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+TRANSCRIPTS_PARQUET = os.path.join(FIXTURE_DIR, "transcripts_2000.parquet")
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _transcripts(spark: SparkSession) -> DataFrame:
+    """Deterministic transcripts fixture (N_CONV=2000, FIXTURES.md §1);
+    generated on first use, then read from parquet by both engines."""
+    if not os.path.exists(TRANSCRIPTS_PARQUET):
+        from cuttana_spark import transcripts as T
+
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        T.write_parquet(TRANSCRIPTS_PARQUET, n_conv=2000)
+    return spark.read.parquet(TRANSCRIPTS_PARQUET)
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: derive the event-type transition graph from sf0.001 events
-    (window + lag + agg) and return top-20 nodes by weighted degree."""
+    """Flagship: derive the user↔event-type interaction graph from sf0.001
+    events and run 5 PageRank supersteps; top-20 nodes by score."""
+    from cuttana_spark.analytics.pagerank import pagerank
     from cuttana_spark.operators import edges as E
 
-    ev = _events(spark, "/root/testdata/sf0.001")
-    e = E.events_sequence_edges(ev)
-    both = e.select(F.col("src_key").alias("node"), "weight").unionAll(
-        e.select(F.col("dst_key").alias("node"), "weight")
+    ev = _read(spark, "/root/testdata/sf0.001", "events")
+    keys = E.events_user_type_edges(ev)
+    sym = keys.select(F.col("src_key").alias("src"), F.col("dst_key").alias("dst"), "weight")
+    sym = sym.unionAll(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )
-    return (
-        both.groupBy("node")
-        .agg(F.sum("weight").alias("weighted_degree"))
-        .orderBy(F.desc("weighted_degree"), "node")
-        .limit(20)
+    pr = pagerank(spark, sym, max_iter=5, tol=0.0)
+    return pr.orderBy(F.desc("score"), "vertex").limit(20).select(
+        "vertex", F.round(F.col("score") * 1e12).cast("long").alias("score_e12")
     )
 
 
 # --------------------------------------------------------------------------
-# queries() / oracle_sql() registry. Each Spark callable and its SQL oracle
-# must produce identical column names (driver hashes values sorted by name).
+# SQL fragments shared by oracles
 # --------------------------------------------------------------------------
 
+_NORM = "trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
+_H64 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
-def _q_edges_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cuttana_spark.operators import edges as E
-
-    return E.events_sequence_edges(_events(spark, sf_dir))
-
-
-_ORACLE_EDGES_FROM_EVENTS = """
+_EVENT_EDGES_SQL = """
 WITH seq AS (
   SELECT event_type,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
@@ -65,33 +89,702 @@ FROM seq WHERE prev_type IS NOT NULL
 GROUP BY 1, 2
 """
 
+_BIPARTITE_SQL = """
+SELECT 'user|' || CAST(user_id AS VARCHAR) AS src_key,
+       'type|' || event_type AS dst_key,
+       count(*) AS weight
+FROM events GROUP BY 1, 2
+"""
 
-def _q_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _transcript_edges_sql() -> str:
+    return f"""
+WITH t AS (SELECT * FROM '{TRANSCRIPTS_PARQUET}'),
+turns AS (
+  SELECT conv_id, turn_idx, tool,
+         printf('turn|%s|%05d', conv_id, turn_idx) AS node_key,
+         lag(printf('turn|%s|%05d', conv_id, turn_idx))
+             OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_key
+  FROM t
+),
+pairs AS (
+  SELECT prev_key AS a, node_key AS b FROM turns WHERE prev_key IS NOT NULL
+  UNION ALL
+  SELECT node_key AS a, 'tool|' || tool AS b FROM turns WHERE tool IS NOT NULL
+)
+SELECT least(a, b) AS src_key, greatest(a, b) AS dst_key, count(*) AS weight
+FROM pairs GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# queries — link graph
+# --------------------------------------------------------------------------
+
+
+def _q_edges_from_events(spark, sf_dir):
     from cuttana_spark.operators import edges as E
 
-    e = E.events_sequence_edges(_events(spark, sf_dir))
-    both = e.select(F.col("src_key").alias("node"), "weight").unionAll(
+    return E.events_sequence_edges(_read(spark, sf_dir, "events"))
+
+
+def _q_edges_from_transcripts(spark, sf_dir):
+    from cuttana_spark.operators import edges as E
+
+    return E.transcript_edge_keys(_transcripts(spark))
+
+
+def _q_degree_topk(spark, sf_dir):
+    from cuttana_spark.operators import edges as E
+
+    e = E.events_sequence_edges(_read(spark, sf_dir, "events"))
+    deg = e.select(F.col("src_key").alias("node"), "weight").unionAll(
         e.select(F.col("dst_key").alias("node"), "weight")
     )
     return (
-        both.groupBy("node")
+        deg.groupBy("node")
         .agg(F.sum("weight").alias("weighted_degree"))
         .orderBy(F.desc("weighted_degree"), "node")
         .limit(10)
     )
 
 
-_ORACLE_DEGREE_TOPK = """
-WITH seq AS (
-  SELECT event_type,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+def _q_pagerank5_events(spark, sf_dir):
+    from cuttana_spark.analytics.pagerank import pagerank
+    from cuttana_spark.operators import edges as E
+
+    keys = E.events_user_type_edges(_read(spark, sf_dir, "events"))
+    e = keys.select(F.col("src_key").alias("src"), F.col("dst_key").alias("dst"), "weight")
+    sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
+    pr = pagerank(spark, sym, max_iter=5, tol=0.0)
+    return pr.select("vertex", F.round(F.col("score") * 1e12).cast("long").alias("score_e12"))
+
+
+_PAGERANK5_SQL = f"""
+WITH e AS ({_BIPARTITE_SQL}),
+sym AS (
+  SELECT src_key AS src, dst_key AS dst, weight FROM e
+  UNION ALL
+  SELECT dst_key AS src, src_key AS dst, weight FROM e
+),
+nodes AS (SELECT DISTINCT src AS vertex FROM sym),
+nn AS (SELECT count(*) AS n FROM nodes),
+degw AS (SELECT src, sum(weight) AS dw FROM sym GROUP BY src),
+trans AS (SELECT s.src, s.dst, s.weight / d.dw AS p FROM sym s JOIN degw d ON s.src = d.src),
+r0 AS (SELECT vertex, 1.0 / (SELECT n FROM nn) AS score FROM nodes),
+r1 AS (SELECT t.dst AS vertex, 0.15 / (SELECT n FROM nn) + 0.85 * sum(t.p * r.score) AS score
+       FROM trans t JOIN r0 r ON t.src = r.vertex GROUP BY t.dst),
+r2 AS (SELECT t.dst AS vertex, 0.15 / (SELECT n FROM nn) + 0.85 * sum(t.p * r.score) AS score
+       FROM trans t JOIN r1 r ON t.src = r.vertex GROUP BY t.dst),
+r3 AS (SELECT t.dst AS vertex, 0.15 / (SELECT n FROM nn) + 0.85 * sum(t.p * r.score) AS score
+       FROM trans t JOIN r2 r ON t.src = r.vertex GROUP BY t.dst),
+r4 AS (SELECT t.dst AS vertex, 0.15 / (SELECT n FROM nn) + 0.85 * sum(t.p * r.score) AS score
+       FROM trans t JOIN r3 r ON t.src = r.vertex GROUP BY t.dst),
+r5 AS (SELECT t.dst AS vertex, 0.15 / (SELECT n FROM nn) + 0.85 * sum(t.p * r.score) AS score
+       FROM trans t JOIN r4 r ON t.src = r.vertex GROUP BY t.dst)
+SELECT vertex, CAST(round(score * 1e12) AS BIGINT) AS score_e12 FROM r5
+"""
+
+
+def _q_triangles_transcripts(spark, sf_dir):
+    from cuttana_spark.analytics.triangles import triangle_count
+    from cuttana_spark.operators import edges as E
+
+    keys = E.transcript_edge_keys(_transcripts(spark))
+    e = keys.select(F.col("src_key").alias("src"), F.col("dst_key").alias("dst"))
+    return triangle_count(spark, e)
+
+
+_TRIANGLES_SQL = f"""
+WITH e AS ({_transcript_edges_sql()}),
+und AS (SELECT src_key AS a, dst_key AS b FROM e)
+SELECT count(*) AS triangles
+FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+def _q_cc_transcripts(spark, sf_dir):
+    """Connected components at convergence (rows-only: iterative fixpoint,
+    not SQL-expressible; exactness covered by networkx tests)."""
+    from cuttana_spark.analytics.components import connected_components
+    from cuttana_spark.operators import edges as E
+
+    nodes, eids = E.transcript_edges(_transcripts(spark))
+    cc = connected_components(spark, eids)
+    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("size")).orderBy(
+        F.desc("size"), "component"
+    ).limit(20)
+
+
+def _q_lpa_events(spark, sf_dir):
+    """Synchronous LPA, 4 supersteps (rows-only)."""
+    from cuttana_spark.analytics.labelprop import label_propagation
+    from cuttana_spark.operators import edges as E
+
+    nodes, eids = E.events_graph(_read(spark, sf_dir, "events"))
+    lp = label_propagation(spark, eids, max_iter=4)
+    return lp.groupBy("label").agg(F.count(F.lit(1)).alias("size")).orderBy(F.desc("size"), "label")
+
+
+def _q_partition_transcripts(spark, sf_dir):
+    """Cuttana partitioning metrics on the transcripts graph, k=16
+    (rows-only; golden-band checks live in tests/test_partition.py)."""
+    from cuttana_spark.operators import edges as E
+    from cuttana_spark.partition import cuttana_partition_df
+
+    nodes, eids = E.transcript_edges(_transcripts(spark))
+    adj = E.adjacency(eids)
+    res = cuttana_partition_df(adj, 16)
+    return spark.createDataFrame(
+        [
+            (
+                int(res.vertex_count),
+                int(res.edge_count),
+                float(res.edge_cut_ratio),
+                float(res.communication_volume),
+                float(res.balance),
+            )
+        ],
+        "vertex_count long, edge_count long, edge_cut_ratio double, "
+        "communication_volume double, balance double",
+    )
+
+
+def _q_pagerank_csr_transcripts(spark, sf_dir):
+    """CSR-block PageRank over Cuttana partitions (rows-only; equality with
+    the DataFrame variant is asserted in tests)."""
+    from cuttana_spark.analytics.pagerank import pagerank_csr
+    from cuttana_spark.operators import edges as E
+    from cuttana_spark.partition.batched import cuttana_partition_df_batched
+
+    nodes, eids = E.transcript_edges(_transcripts(spark))
+    adj = E.adjacency(eids)
+    res = cuttana_partition_df_batched(adj, 8)
+    vp = res.to_spark_df(spark).select("vertex", "partition_id")
+    sym = E.symmetrize(eids)
+    pr = pagerank_csr(spark, sym, vp, max_iter=3, tol=0.0)
+    return pr.orderBy(F.desc("score"), "vertex").limit(50).select(
+        "vertex", F.round(F.col("score") * 1e9).cast("long").alias("score_e9")
+    )
+
+
+# --------------------------------------------------------------------------
+# queries — relational conformance (TPC-H-ish)
+# --------------------------------------------------------------------------
+
+
+def _q_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1999-01-01")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+                    "decimal(28,8)"
+                )
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q_top_revenue_orders(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(28,8)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_TOP_REVENUE_SQL = """
+SELECT l_orderkey,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def _q_region_revenue(spark, sf_dir):
+    region = _read(spark, sf_dir, "region")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(28,8)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("r_name")
+    )
+
+
+_REGION_REVENUE_SQL = """
+SELECT r_name,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def _q_sessionize(spark, sf_dir):
+    """Sessionization: new session when gap > 1800 s; window + running sum."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = marked.withColumn("session_id", F.sum("new_session").over(w))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("sum_value").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR datediff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session,
+         ts, event_id
   FROM events
-), e AS (
-  SELECT least(prev_type, event_type) AS src_key,
-         greatest(prev_type, event_type) AS dst_key,
-         count(*) AS weight
-  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
-), deg AS (
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM marked
+),
+per AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+       sum(sum_value) AS total_value
+FROM per GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _q_type_user_stats(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_TYPE_USER_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# queries — training-data operators (documents / embeddings)
+# --------------------------------------------------------------------------
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from cuttana_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, {_H64.format(x=_NORM.format(col='text'))} AS fp FROM documents
+),
+canon AS (SELECT fp, min(doc_id) AS canonical_id FROM fp GROUP BY fp)
+SELECT f.doc_id, c.canonical_id FROM fp f JOIN canon c ON f.fp = c.fp
+"""
+
+
+def _q_fingerprints(spark, sf_dir):
+    from cuttana_spark.operators.text import with_fingerprint
+
+    return with_fingerprint(_read(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+_FINGERPRINTS_SQL = f"""
+SELECT doc_id, {_H64.format(x=_NORM.format(col='text'))} AS fingerprint FROM documents
+"""
+
+
+def _q_token_counts(spark, sf_dir):
+    from cuttana_spark.operators.text import with_token_count
+
+    return with_token_count(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    )
+
+
+_TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(str_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def _q_quality(spark, sf_dir):
+    from cuttana_spark.operators.text import with_quality
+
+    return with_quality(_read(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_chars",
+        F.round(F.col("quality") * 1e6).cast("long").alias("quality_e6"),
+    )
+
+
+_QUALITY_SQL = """
+WITH q AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+         len(regexp_extract_all(lower(text), '\\b(the|and|is|of|to|in|that|it)\\b')) AS n_stop
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(round((
+         least(n_chars / 500.0, 1.0) * 0.4
+         + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 4.0, 1.0)) * 0.2
+         + (1.0 - least(CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) * 4.0, 1.0)) * 0.2
+         + least(CAST(n_stop AS DOUBLE) / greatest(n_words, 1) * 5.0, 1.0) * 0.2
+       ) * 1e6) AS BIGINT) AS quality_e6
+FROM q
+"""
+
+
+def _q_lang_pred(spark, sf_dir):
+    from cuttana_spark.operators.text import with_language
+
+    return (
+        with_language(_read(spark, sf_dir, "documents"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def _lang_sql() -> str:
+    from cuttana_spark.operators.text import STOPWORDS
+
+    hit = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(ws)})\\b'))"
+        for lang, ws in STOPWORDS.items()
+    }
+    best = f"greatest({', '.join(hit.values())})"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in STOPWORDS:
+        case += f"WHEN {hit[lang]} = {best} THEN '{lang}' "
+    case += "END"
+    return f"""
+SELECT lang_pred, count(*) AS n_docs FROM (
+  SELECT {case} AS lang_pred FROM documents
+) GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+_DOCS_SUBSET = "doc_id % 10 = 0"
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from cuttana_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents").filter(_DOCS_SUBSET)
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.01)
+    return pairs.select(
+        "doc_a", "doc_b", F.round(F.col("jaccard") * 1e9).cast("long").alias("jaccard_e9")
+    )
+
+
+_SHINGLE_SQL = f"""
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(str_split({_NORM.format(col='text')}, ' ')) - 2, 0)),
+    i -> concat_ws(' ',
+         list_extract(str_split({_NORM.format(col='text')}, ' '), i),
+         list_extract(str_split({_NORM.format(col='text')}, ' '), i + 1),
+         list_extract(str_split({_NORM.format(col='text')}, ' '), i + 2))
+  ))) AS shingle
+  FROM documents WHERE {_DOCS_SUBSET}
+"""
+
+_NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+  FROM sh2 x JOIN sh2 y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) * 1e9) AS BIGINT) AS jaccard_e9
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.01
+"""
+
+
+def _q_minhash_sigs(spark, sf_dir):
+    from cuttana_spark.operators.dedup import minhash_signatures
+
+    docs = _read(spark, sf_dir, "documents").filter(_DOCS_SUBSET)
+    sig = minhash_signatures(docs, num_hashes=8, shingle_n=3)
+    cols = [F.element_at("sig", i + 1).alias(f"h{i}") for i in range(8)]
+    return sig.select("doc_id", *cols)
+
+
+def _minhash_sql() -> str:
+    mins = ",\n       ".join(
+        f"min({_H64.format(x=chr(39) + str(i) + chr(39) + ' || ' + chr(39) + '|' + chr(39) + ' || shingle')}) AS h{i}"
+        for i in range(8)
+    )
+    return f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle <> '')
+SELECT doc_id,
+       {mins}
+FROM sh2 GROUP BY doc_id
+"""
+
+
+def _q_simhash(spark, sf_dir):
+    from cuttana_spark.operators.dedup import simhash
+
+    docs = _read(spark, sf_dir, "documents").filter(_DOCS_SUBSET)
+    return simhash(docs, bits=16)
+
+
+def _simhash_sql() -> str:
+    h = _H64.format(x="w")
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN ({h} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(16)
+    )
+    pack = " + ".join(f"CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16))
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(str_split({_NORM.format(col='text')}, ' ')) AS w
+  FROM documents WHERE {_DOCS_SUBSET}
+),
+w2 AS (SELECT doc_id, w FROM words WHERE w <> ''),
+agg AS (SELECT doc_id, {sums} FROM w2 GROUP BY doc_id)
+SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM agg
+"""
+
+
+_EMB_SUBSET = "vec_id % 25 = 0"
+
+
+def _q_ann_topk(spark, sf_dir):
+    from cuttana_spark.operators.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(_EMB_SUBSET)
+    top = brute_force_topk(q, emb, k=5)
+    return top.select(
+        "query_id",
+        "rank",
+        "match_id",
+        F.round(F.col("cosine") * 1e9).cast("long").alias("cosine_e9"),
+    )
+
+
+_ANN_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE {_EMB_SUBSET}),
+c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS ce FROM embeddings),
+scored AS (
+  SELECT query_id, match_id, list_cosine_similarity(qe, ce) AS cosine
+  FROM q CROSS JOIN c WHERE query_id <> match_id
+),
+ranked AS (
+  SELECT query_id, match_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, match_id, CAST(round(cosine * 1e9) AS BIGINT) AS cosine_e9
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _q_embedding_near_dups(spark, sf_dir):
+    from cuttana_spark.operators.similarity import embedding_near_dups
+
+    emb = _read(spark, sf_dir, "embeddings").filter("vec_id % 5 = 0")
+    return embedding_near_dups(emb, threshold=0.25).select(
+        "vec_a", "vec_b", F.round(F.col("cosine") * 1e9).cast("long").alias("cosine_e9")
+    )
+
+
+_NEAR_DUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id % 5 = 0)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(round(list_cosine_similarity(a.emb, b.emb) * 1e9) AS BIGINT) AS cosine_e9
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.25
+"""
+
+
+def _q_lsh_ann(spark, sf_dir):
+    """LSH-bucketed ANN (rows-only: hyperplane hashing isn't reproducible in
+    SQL; recall vs brute force asserted in tests)."""
+    from cuttana_spark.operators.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(_EMB_SUBSET)
+    dim = len(emb.select("embedding").first()[0])
+    return lsh_topk(q, emb, dim=dim, k=5, n_planes=4)
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing (rows-only; codec stubbed — see operators/multimodal)."""
+    from cuttana_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=48)
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.round(F.element_at("feature", 1) * 1e6).cast("long").alias("f0_e6"),
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # link graph
+        "edges_from_events": _q_edges_from_events,
+        "edges_from_transcripts": _q_edges_from_transcripts,
+        "degree_topk": _q_degree_topk,
+        "pagerank5_events": _q_pagerank5_events,
+        "triangles_transcripts": _q_triangles_transcripts,
+        "cc_transcripts": _q_cc_transcripts,
+        "lpa_events": _q_lpa_events,
+        "partition_transcripts": _q_partition_transcripts,
+        "pagerank_csr_transcripts": _q_pagerank_csr_transcripts,
+        # relational conformance
+        "pricing_summary": _q_pricing_summary,
+        "top_revenue_orders": _q_top_revenue_orders,
+        "region_revenue": _q_region_revenue,
+        "sessionize": _q_sessionize,
+        "type_user_stats": _q_type_user_stats,
+        # training-data ops
+        "dedup_exact": _q_dedup_exact,
+        "fingerprints": _q_fingerprints,
+        "token_counts": _q_token_counts,
+        "quality": _q_quality,
+        "lang_pred": _q_lang_pred,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_sigs": _q_minhash_sigs,
+        "simhash": _q_simhash,
+        "ann_topk": _q_ann_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "lsh_ann": _q_lsh_ann,
+        "multimodal_features": _q_multimodal_features,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    _transcripts_path_dep = None  # transcripts fixture written by queries()
+    return {
+        "edges_from_events": _EVENT_EDGES_SQL,
+        "edges_from_transcripts": _transcript_edges_sql(),
+        "degree_topk": _ORACLE_DEGREE_TOPK,
+        "pagerank5_events": _PAGERANK5_SQL,
+        "triangles_transcripts": _TRIANGLES_SQL,
+        "pricing_summary": _PRICING_SQL,
+        "top_revenue_orders": _TOP_REVENUE_SQL,
+        "region_revenue": _REGION_REVENUE_SQL,
+        "sessionize": _SESSIONIZE_SQL,
+        "type_user_stats": _TYPE_USER_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "fingerprints": _FINGERPRINTS_SQL,
+        "token_counts": _TOKEN_COUNTS_SQL,
+        "quality": _QUALITY_SQL,
+        "lang_pred": _lang_sql(),
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "minhash_sigs": _minhash_sql(),
+        "simhash": _simhash_sql(),
+        "ann_topk": _ANN_SQL,
+        "embedding_near_dups": _NEAR_DUP_SQL,
+        # cc_transcripts, lpa_events, partition_transcripts,
+        # pagerank_csr_transcripts, lsh_ann, multimodal_features: rows-only
+    }
+
+
+_ORACLE_DEGREE_TOPK = f"""
+WITH e AS ({_EVENT_EDGES_SQL}),
+deg AS (
   SELECT src_key AS node, weight FROM e
   UNION ALL
   SELECT dst_key AS node, weight FROM e
@@ -100,17 +793,3 @@ SELECT node, sum(weight) AS weighted_degree
 FROM deg GROUP BY node
 ORDER BY weighted_degree DESC, node LIMIT 10
 """
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        "edges_from_events": _q_edges_from_events,
-        "degree_topk": _q_degree_topk,
-    }
-
-
-def oracle_sql() -> dict[str, str]:
-    return {
-        "edges_from_events": _ORACLE_EDGES_FROM_EVENTS,
-        "degree_topk": _ORACLE_DEGREE_TOPK,
-    }

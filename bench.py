@@ -1,0 +1,150 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. The link-graph suite runs on the bench-scale
+transcripts fixture (N_CONV=50,000 → ~1.05M turns, FIXTURES.md §1), the
+relational/training-data suite on the sf tables.
+
+Derived throughput metrics (PageRank supersteps/sec + edges/sec, partitioner
+vertices/sec) are included alongside per-query seconds; scaling-efficiency
+evidence (same job at local[8] vs local[32]) lives in bench_scaling.py →
+BENCH.md, not here, to keep the per-round bench fast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+BENCH_TRANSCRIPTS = os.path.join(FIXTURE, "bench_transcripts_50k.parquet")
+N_CONV_BENCH = 50_000
+PR_ITERS = 5
+
+
+def ensure_bench_transcripts() -> str:
+    if not os.path.exists(BENCH_TRANSCRIPTS):
+        from cuttana_spark import transcripts as T
+
+        os.makedirs(FIXTURE, exist_ok=True)
+        T.write_parquet(BENCH_TRANSCRIPTS, n_conv=N_CONV_BENCH)
+    return BENCH_TRANSCRIPTS
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import functions as F
+
+    from cuttana_spark.session import get_spark
+
+    spark = get_spark(
+        app="cuttana-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from cuttana_spark.analytics.components import connected_components
+    from cuttana_spark.analytics.pagerank import pagerank_csr
+    from cuttana_spark.analytics.triangles import triangle_count
+    from cuttana_spark.operators import edges as E
+    from cuttana_spark.operators.dedup import minhash_pairs
+    from cuttana_spark.operators.similarity import brute_force_topk
+    from cuttana_spark.partition.batched import cuttana_partition_df_batched
+
+    import __spark_entry__ as se
+
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.monotonic()
+                return self
+
+            def __exit__(self, *a):
+                queries[name] = round(time.monotonic() - self.t0, 3)
+
+        return _T()
+
+    # ---- link-graph suite on bench transcripts (~1.05M turns) ----
+    tpath = ensure_bench_transcripts()
+    tdf = spark.read.parquet(tpath)
+
+    with timed("edge_derivation"):
+        nodes, eids = E.transcript_edges(tdf, mode="sort")
+        eids = eids.cache()
+        n_edges = eids.count()
+    n_vertices = nodes.count()
+    extra["graph_vertices"] = n_vertices
+    extra["graph_edges"] = n_edges
+
+    with timed("adjacency_build"):
+        adj = E.adjacency(eids).cache()
+        adj.count()
+
+    with timed("partition"):
+        res = cuttana_partition_df_batched(adj, 16, batch_size=4096)
+    extra["partition_vertices_per_sec"] = round(res.vertex_count / queries["partition"], 1)
+    extra["partition_edge_cut_ratio"] = round(res.edge_cut_ratio, 4)
+    extra["partition_balance"] = round(res.balance, 4)
+
+    vp = res.to_spark_df(spark).select("vertex", "partition_id").cache()
+    vp.count()
+    sym = E.symmetrize(eids)
+
+    with timed("pagerank_csr"):
+        pr = pagerank_csr(spark, sym, vp, max_iter=PR_ITERS, tol=0.0)
+        pr.agg(F.sum("score")).collect()
+    extra["pagerank_supersteps_per_sec"] = round(PR_ITERS / queries["pagerank_csr"], 3)
+    extra["pagerank_edges_per_sec"] = round(
+        PR_ITERS * 2 * n_edges / queries["pagerank_csr"], 1
+    )
+
+    with timed("connected_components"):
+        cc = connected_components(spark, eids)
+        cc.agg(F.countDistinct("component")).collect()
+
+    with timed("triangles"):
+        triangle_count(
+            spark, eids.select(F.col("src"), F.col("dst"))
+        ).collect()
+
+    # ---- relational + training-data suite on sf tables ----
+    q = se.queries()
+    for name in ("pricing_summary", "sessionize", "region_revenue", "type_user_stats"):
+        with timed(name):
+            q[name](spark, sf_dir).collect()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with timed("minhash_dedup"):
+        minhash_pairs(docs, num_hashes=16, bands=4, threshold=0.5).collect()
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    with timed("ann_topk"):
+        brute_force_topk(emb.filter("vec_id % 25 = 0"), emb, k=10).collect()
+
+    total = round(sum(queries.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf),
+                "derived": extra,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Connected components — alternating small-star / large-star
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14),
+expressed entirely as DataFrame aggregations + joins.
+
+Converges in O(log² n) rounds; each round is two groupBy-min shuffles. The
+result maps every vertex to the minimum vertex id of its component (the
+canonical representative), which the networkx oracle checks exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAX_ROUNDS = 50
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each u: m = min(u ∪ N(u)); emit (v, m) for v in N(u) with v > u."""
+    sym = e.select("a", "b").unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = sym.groupBy("a").agg(F.min("b").alias("mb"))
+    return (
+        sym.filter(F.col("b") > F.col("a"))
+        .join(mins, "a")
+        .select(F.col("b").alias("a"), F.least("a", "mb").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges high→low; for each u: m = min(N_low(u) ∪ {u}); emit
+    (v, m) for v in N_low(u) and (u, m)."""
+    d = e.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    mins = d.groupBy("a").agg(F.min("b").alias("m"))
+    star = d.join(mins, "a")
+    out = star.select(F.col("b").alias("a"), F.col("m").alias("b")).unionAll(
+        star.select("a", F.col("m").alias("b"))
+    )
+    return out.filter(F.col("a") != F.col("b")).distinct()
+
+
+def connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_rounds: int = MAX_ROUNDS,
+    runner=None,
+) -> DataFrame:
+    """edges: undirected (src, dst[, weight]) → DataFrame[vertex, component]
+    where component = min vertex id of the component."""
+    nodes = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionAll(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .cache()
+    )
+    e = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    e = e.localCheckpoint(eager=True)
+
+    start = 0
+    if runner is not None:
+        resumed = runner.resume()
+        if resumed is not None:
+            start, e = resumed
+            e = e.localCheckpoint(eager=True)
+
+    for rnd in range(start, max_rounds):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # converged when the edge set is stable (same canonical pairs)
+        a = e.select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")).distinct()
+        b = e2.select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")).distinct()
+        changed = a.unionAll(b).groupBy("x", "y").count().filter("count != 2").count()
+        e = e2
+        if runner is not None:
+            runner.checkpoint(rnd + 1, e, {"changed": int(changed)})
+        if changed == 0:
+            break
+
+    # at fixpoint every edge is (v, root); vertices may appear as roots only
+    labels = e.groupBy(F.col("a").alias("vertex")).agg(F.min("b").alias("component"))
+    return (
+        nodes.join(labels, "vertex", "left")
+        .select(
+            "vertex",
+            F.least(F.coalesce("component", F.col("vertex")), F.col("vertex")).alias("component"),
+        )
+    )

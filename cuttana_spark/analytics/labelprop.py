@@ -1,0 +1,75 @@
+"""Synchronous label propagation with deterministic tie-breaking.
+
+Each superstep every vertex adopts the most frequent label among its
+neighbors (ties → smallest label; vertices keep their label if isolated).
+Deterministic by construction — (count DESC, label ASC) row_number window —
+so the run is exactly reproducible and checkable against a pure-Python
+oracle. Fixed max_iter (LPA need not converge; synchronous LPA can
+oscillate on bipartite structures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = 10,
+    runner=None,
+) -> DataFrame:
+    """edges: undirected (src, dst[, weight]) → DataFrame[vertex, label]."""
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("vertex")).distinct().cache()
+    labels = nodes.withColumn("label", F.col("vertex"))
+
+    start = 0
+    if runner is not None:
+        resumed = runner.resume()
+        if resumed is not None:
+            start, labels = resumed
+    labels = labels.localCheckpoint(eager=True)
+
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
+    for it in range(start, max_iter):
+        freq = (
+            sym.join(labels, sym.src == labels.vertex)
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = (
+            freq.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select(F.col("dst").alias("vertex"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "vertex", "left")
+            .select("vertex", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        if runner is not None:
+            runner.checkpoint(it + 1, labels, {})
+    return labels
+
+
+def label_propagation_oracle(adj: dict[int, list[int]], max_iter: int = 10) -> dict[int, int]:
+    """Pure-Python oracle with identical semantics (exact-match tests)."""
+    labels = {v: v for v in adj}
+    for _ in range(max_iter):
+        new = {}
+        for v, nbrs in adj.items():
+            if not nbrs:
+                new[v] = labels[v]
+                continue
+            counts: dict[int, int] = {}
+            for nb in nbrs:
+                lb = labels[nb]
+                counts[lb] = counts.get(lb, 0) + 1
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[v] = best
+        labels = new
+    return labels

@@ -1,0 +1,182 @@
+"""PageRank — two implementations sharing semantics with networkx.pagerank.
+
+1. ``pagerank`` — pure declarative DataFrame joins + aggregations. Catalyst
+   gets the whole plan; AQE handles reducer skew; per-iteration lineage is
+   truncated with localCheckpoint. This is the oracle-checkable variant.
+
+2. ``pagerank_csr`` — the scale path from the north star: frontier scores
+   hash-cogrouped against CSR-packed per-partition adjacency blocks inside an
+   Arrow ``applyInPandas`` UDF (numpy gather-scatter, no per-row Python).
+   Hub-vertex skew is neutralized structurally: each block partially
+   aggregates contributions per dst BEFORE the shuffle (map-side combine), so
+   a degree-10^8 hub receives at most one row per block instead of one per
+   edge. See csr.py for block packing.
+
+Semantics (matches networkx.pagerank): column-stochastic transition with
+weights, teleport (1-α)/N, dangling mass redistributed uniformly,
+L1 convergence err < N·tol.
+
+The reference has no analytics at all (SURVEY §0); the oracle is
+networkx/DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _nodes(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("vertex"))
+        .unionAll(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-10,
+    runner=None,
+) -> DataFrame:
+    """PageRank over a DIRECTED weighted edge table (src, dst, weight).
+
+    For undirected graphs pass the symmetrized table
+    (operators.edges.symmetrize). Returns DataFrame[vertex, score].
+    ``runner``: optional supersteps.SuperstepRunner for checkpoint/resume.
+    """
+    edges = edges.select("src", "dst", F.col("weight").cast("double"))
+    nodes = _nodes(edges).cache()
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "vertex long, score double")
+
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    trans = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
+        .cache()
+    )
+    dangling_nodes = nodes.join(out_w, nodes.vertex == out_w.src, "left_anti").cache()
+    has_dangling = dangling_nodes.count() > 0
+
+    start_iter = 0
+    ranks = nodes.withColumn("score", F.lit(1.0 / n))
+    if runner is not None:
+        resumed = runner.resume()
+        if resumed is not None:
+            start_iter, ranks = resumed
+
+    ranks = ranks.localCheckpoint(eager=True)
+    for it in range(start_iter, max_iter):
+        contribs = (
+            trans.join(ranks, trans.src == ranks.vertex)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("score")).alias("contrib"))
+        )
+        dangling_mass = 0.0
+        if has_dangling:
+            row = dangling_nodes.join(ranks, "vertex").agg(F.sum("score")).first()
+            dangling_mass = row[0] or 0.0
+        new_ranks = (
+            nodes.join(contribs, nodes.vertex == contribs.dst, "left")
+            .select(
+                "vertex",
+                (
+                    F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(alpha_dangling(dangling_mass, n)))
+                ).alias("score"),
+            )
+        ).localCheckpoint(eager=True)
+        err = (
+            new_ranks.alias("a")
+            .join(ranks.alias("b"), "vertex")
+            .agg(F.sum(F.abs(F.col("a.score") - F.col("b.score"))))
+            .first()[0]
+        )
+        ranks = new_ranks
+        if runner is not None:
+            runner.checkpoint(it + 1, ranks, {"err": float(err)})
+        if err < n * tol:
+            break
+    return ranks
+
+
+def alpha_dangling(mass: float, n: int) -> float:
+    return mass / n
+
+
+def pagerank_csr(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertex_partitions: DataFrame,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-10,
+    runner=None,
+) -> DataFrame:
+    """PageRank via CSR-block gather-scatter (see module docstring).
+
+    vertex_partitions: DataFrame[vertex, partition_id] — from the Cuttana
+    partitioner; blocks are co-located by partition_id so each superstep
+    shuffles only the O(V) frontier, not the O(E) edges.
+    """
+    from cuttana_spark.analytics.csr import pack_blocks, scatter_gather
+
+    edges = edges.select("src", "dst", F.col("weight").cast("double"))
+    nodes = _nodes(edges).cache()
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "vertex long, score double")
+
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    trans = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
+    )
+    blocks = pack_blocks(trans, vertex_partitions).cache()
+    blocks.count()  # materialize once; reused every superstep
+    vp = vertex_partitions.select("vertex", "partition_id")
+    dangling_nodes = nodes.join(out_w, nodes.vertex == out_w.src, "left_anti").cache()
+    has_dangling = dangling_nodes.count() > 0
+
+    start_iter = 0
+    ranks = nodes.withColumn("score", F.lit(1.0 / n))
+    if runner is not None:
+        resumed = runner.resume()
+        if resumed is not None:
+            start_iter, ranks = resumed
+    ranks = ranks.localCheckpoint(eager=True)
+
+    for it in range(start_iter, max_iter):
+        contribs = scatter_gather(spark, blocks, ranks.join(vp, "vertex"))
+        dangling_mass = 0.0
+        if has_dangling:
+            row = dangling_nodes.join(ranks, "vertex").agg(F.sum("score")).first()
+            dangling_mass = row[0] or 0.0
+        new_ranks = (
+            nodes.join(contribs, nodes.vertex == contribs.dst, "left")
+            .select(
+                "vertex",
+                (
+                    F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling_mass / n))
+                ).alias("score"),
+            )
+        ).localCheckpoint(eager=True)
+        err = (
+            new_ranks.alias("a")
+            .join(ranks.alias("b"), "vertex")
+            .agg(F.sum(F.abs(F.col("a.score") - F.col("b.score"))))
+            .first()[0]
+        )
+        ranks = new_ranks
+        if runner is not None:
+            runner.checkpoint(it + 1, ranks, {"err": float(err)})
+        if err < n * tol:
+            break
+    return ranks

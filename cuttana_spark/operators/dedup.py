@@ -1,0 +1,173 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all Spark-first (built-in functions; the only loops are
+JVM-side higher-order array functions):
+
+  exact_dedup        hash-groupBy on normalized-text fingerprint
+  minhash_pairs      MinHash + LSH banding (shingle → minhash → band →
+                     bucket join → exact-Jaccard verify)
+  simhash            64-bit SimHash signature per doc; near-dups = band join
+  ngram_jaccard      exact n-gram Jaccard via shingle inverted index
+  embedding dup      cosine near-dup over embedding vectors (similarity.py)
+
+Scale notes: the shingle explode is the only fan-out (O(doc_len) rows/doc);
+minhash aggregates it straight back down with a single groupBy(min...), so
+the shuffle volume is O(docs × num_hashes). Band-bucket joins only shuffle
+(band, signature) keys. The exact-Jaccard verify runs only on candidate
+pairs. All hashes are the portable md5-prefix (text.portable_hash64) so
+every stage has a DuckDB oracle; swap xxhash64 in for production speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cuttana_spark.operators.text import normalized, portable_hash64, shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_id): canonical = min doc_id among docs with equal
+    normalized text. Docs with canonical_id == doc_id are the keepers."""
+    fp = df.select("doc_id", portable_hash64(normalized(F.col(text_col))).alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
+    return fp.join(canon, "fp").select("doc_id", "canonical_id")
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, sig: array<long> of length num_hashes).
+
+    h_i(shingle) = portable_hash64(i || '|' || shingle); sig[i] = min over
+    the doc's shingles. The explode is aggregated immediately (map-side
+    partial min), so shuffle volume is O(docs × num_hashes)."""
+    sh = shingles(df, text_col, n=shingle_n)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    hashed = sh.select(
+        "doc_id",
+        F.transform(
+            seeds,
+            lambda i: F.conv(
+                F.substring(F.md5(F.concat_ws("|", i.cast("string"), F.col("shingle"))), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+        ).alias("hs"),
+    )
+    mins = [F.min(F.element_at("hs", i + 1)).alias(f"h{i}") for i in range(num_hashes)]
+    agg = hashed.groupBy("doc_id").agg(*mins)
+    return agg.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding, verified with exact
+    n-gram Jaccard. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b,
+    jaccard >= threshold."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, num_hashes, shingle_n)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(",", F.slice("sig", b * rows + 1, rows)).alias("bsig"),
+                ),
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.bsig")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bsig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    jac = ngram_jaccard_for_pairs(df, cand, text_col, shingle_n)
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_for_pairs(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """Exact Jaccard for given (doc_a, doc_b) pairs via the shingle index."""
+    sh = shingles(df, text_col, n=shingle_n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.withColumnRenamed("doc_id", "doc_a")
+        .join(pairs, "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", shingle_n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All near-dup pairs by exact n-gram Jaccard via inverted shingle index
+    (no LSH approximation; quadratic only within shingle buckets)."""
+    sh = shingles(df, text_col, n=shingle_n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): sign-aggregated token-hash signature.
+
+    bit j of simhash = 1 iff Σ_tokens (token_hash>>j & 1 ? +1 : −1) > 0.
+    Expressed as `bits` conditional sums in ONE hash aggregate (JVM-side,
+    no UDF). 16 bits keeps the oracle SQL tractable; production uses 64."""
+    words = df.select(
+        "doc_id", F.explode(F.split(normalized(F.col(text_col)), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    h = portable_hash64(F.col("w"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = words.groupBy("doc_id").agg(*sums)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.cast("long").alias("simhash"))

