@@ -77,7 +77,10 @@ def main() -> None:
     tdf = spark.read.parquet(tpath)
 
     with timed("edge_derivation"):
-        nodes, eids = E.transcript_edges(tdf, mode="sort")
+        # hash ids: the scale path (no global-sort densification); collision
+        # check included in the timed section
+        nodes, eids = E.transcript_edges(tdf, mode="hash")
+        assert E.check_hash_collisions(nodes) == 0
         eids = eids.cache()
         n_edges = eids.count()
     n_vertices = nodes.count()

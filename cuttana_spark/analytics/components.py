@@ -67,16 +67,31 @@ def connected_components(
             start, e = resumed
             e = e.localCheckpoint(eager=True)
 
+    def _sig(df) -> tuple:
+        # order-insensitive canonical-edge-set signature: one cheap aggregate
+        # per round instead of a union+groupBy over both generations
+        row = (
+            df.select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                # decimal sum: exact and overflow-free under ANSI mode
+                F.sum(F.xxhash64("x", "y").cast("decimal(38,0)")).alias("h"),
+            )
+            .first()
+        )
+        return (row.cnt, row.h)
+
+    prev_sig = _sig(e)
     for rnd in range(start, max_rounds):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # converged when the edge set is stable (same canonical pairs)
-        a = e.select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")).distinct()
-        b = e2.select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")).distinct()
-        changed = a.unionAll(b).groupBy("x", "y").count().filter("count != 2").count()
+        sig = _sig(e2)
+        changed = sig != prev_sig
+        prev_sig = sig
         e = e2
         if runner is not None:
             runner.checkpoint(rnd + 1, e, {"changed": int(changed)})
-        if changed == 0:
+        if not changed:
             break
 
     # at fixpoint every edge is (v, root); vertices may appear as roots only

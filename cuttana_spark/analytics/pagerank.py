@@ -92,15 +92,18 @@ def pagerank(
                 ).alias("score"),
             )
         ).localCheckpoint(eager=True)
-        err = (
-            new_ranks.alias("a")
-            .join(ranks.alias("b"), "vertex")
-            .agg(F.sum(F.abs(F.col("a.score") - F.col("b.score"))))
-            .first()[0]
-        )
+        if tol > 0:
+            err = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "vertex")
+                .agg(F.sum(F.abs(F.col("a.score") - F.col("b.score"))))
+                .first()[0]
+            )
+        else:
+            err = float("inf")  # fixed-iteration mode: no convergence action
         ranks = new_ranks
         if runner is not None:
-            runner.checkpoint(it + 1, ranks, {"err": float(err)})
+            runner.checkpoint(it + 1, ranks, {"err": float(err) if err != float("inf") else -1.0})
         if err < n * tol:
             break
     return ranks
@@ -140,27 +143,38 @@ def pagerank_csr(
     blocks = pack_blocks(trans, vertex_partitions).cache()
     blocks.count()  # materialize once; reused every superstep
     vp = vertex_partitions.select("vertex", "partition_id")
+    # carry partition_id through the loop so each superstep needs no extra
+    # score→partition join (vertices without a partition — possible only for
+    # dangling-only ids — contribute nothing and keep pid -1)
+    nodes_pid = nodes.join(vp, "vertex", "left").select(
+        "vertex", F.coalesce("partition_id", F.lit(-1)).alias("partition_id")
+    ).cache()
+    nodes_pid.count()
     dangling_nodes = nodes.join(out_w, nodes.vertex == out_w.src, "left_anti").cache()
     has_dangling = dangling_nodes.count() > 0
 
     start_iter = 0
-    ranks = nodes.withColumn("score", F.lit(1.0 / n))
+    ranks = nodes_pid.withColumn("score", F.lit(1.0 / n))
     if runner is not None:
         resumed = runner.resume()
         if resumed is not None:
-            start_iter, ranks = resumed
+            start_iter, resumed_state = resumed
+            ranks = resumed_state
+            if "partition_id" not in ranks.columns:
+                ranks = ranks.join(nodes_pid, "vertex")
     ranks = ranks.localCheckpoint(eager=True)
 
     for it in range(start_iter, max_iter):
-        contribs = scatter_gather(spark, blocks, ranks.join(vp, "vertex"))
+        contribs = scatter_gather(spark, blocks, ranks)
         dangling_mass = 0.0
         if has_dangling:
             row = dangling_nodes.join(ranks, "vertex").agg(F.sum("score")).first()
             dangling_mass = row[0] or 0.0
         new_ranks = (
-            nodes.join(contribs, nodes.vertex == contribs.dst, "left")
+            nodes_pid.join(contribs, nodes_pid.vertex == contribs.dst, "left")
             .select(
                 "vertex",
+                "partition_id",
                 (
                     F.lit((1.0 - alpha) / n)
                     + F.lit(alpha)
@@ -168,15 +182,18 @@ def pagerank_csr(
                 ).alias("score"),
             )
         ).localCheckpoint(eager=True)
-        err = (
-            new_ranks.alias("a")
-            .join(ranks.alias("b"), "vertex")
-            .agg(F.sum(F.abs(F.col("a.score") - F.col("b.score"))))
-            .first()[0]
-        )
+        if tol > 0:
+            err = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "vertex")
+                .agg(F.sum(F.abs(F.col("a.score") - F.col("b.score"))))
+                .first()[0]
+            )
+        else:
+            err = float("inf")  # fixed-iteration mode: no convergence action
         ranks = new_ranks
         if runner is not None:
-            runner.checkpoint(it + 1, ranks, {"err": float(err)})
+            runner.checkpoint(it + 1, ranks, {"err": float(err) if err != float("inf") else -1.0})
         if err < n * tol:
             break
-    return ranks
+    return ranks.select("vertex", "score")
