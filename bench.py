@@ -92,15 +92,30 @@ def main() -> None:
         adj.count()
 
     with timed("partition"):
-        res = cuttana_partition_df_batched(adj, 16, batch_size=4096)
+        res = cuttana_partition_df_batched(adj, 32, batch_size=4096)
     extra["partition_vertices_per_sec"] = round(res.vertex_count / queries["partition"], 1)
     extra["partition_edge_cut_ratio"] = round(res.edge_cut_ratio, 4)
     extra["partition_balance"] = round(res.balance, 4)
 
     vp = res.to_spark_df(spark).select("vertex", "partition_id").cache()
     vp.count()
-    sym = E.symmetrize(eids)
+    sym = E.symmetrize(eids).cache()
+    sym.count()
 
+    from cuttana_spark.analytics.pagerank import pagerank as pagerank_df
+
+    # warm-up (JIT, cache materialization) then timed runs — the steady-state
+    # per-superstep cost is the north-rule metric
+    pagerank_df(spark, sym, max_iter=1, tol=0.0).agg(F.sum("score")).collect()
+    with timed("pagerank_df"):
+        pr = pagerank_df(spark, sym, max_iter=PR_ITERS, tol=0.0)
+        pr.agg(F.sum("score")).collect()
+    extra["pagerank_df_supersteps_per_sec"] = round(PR_ITERS / queries["pagerank_df"], 3)
+    extra["pagerank_df_edges_per_sec"] = round(
+        PR_ITERS * 2 * n_edges / queries["pagerank_df"], 1
+    )
+
+    pagerank_csr(spark, sym, vp, max_iter=1, tol=0.0).agg(F.sum("score")).collect()
     with timed("pagerank_csr"):
         pr = pagerank_csr(spark, sym, vp, max_iter=PR_ITERS, tol=0.0)
         pr.agg(F.sum("score")).collect()

@@ -91,7 +91,13 @@ def pagerank(
                     * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(alpha_dangling(dangling_mass, n)))
                 ).alias("score"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        # materialize (truncate lineage/plan growth) only periodically —
+        # intermediate supersteps live as shuffle outputs that Spark reuses,
+        # so a fixed-iteration run executes as ONE dag with no per-superstep
+        # driver round-trip
+        if tol > 0 or runner is not None or (it + 1) % 5 == 0 or it + 1 == max_iter:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
         if tol > 0:
             err = (
                 new_ranks.alias("a")
@@ -181,7 +187,13 @@ def pagerank_csr(
                     * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling_mass / n))
                 ).alias("score"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        # materialize (truncate lineage/plan growth) only periodically —
+        # intermediate supersteps live as shuffle outputs that Spark reuses,
+        # so a fixed-iteration run executes as ONE dag with no per-superstep
+        # driver round-trip
+        if tol > 0 or runner is not None or (it + 1) % 5 == 0 or it + 1 == max_iter:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
         if tol > 0:
             err = (
                 new_ranks.alias("a")

@@ -103,9 +103,20 @@ def to_edge_ids(edge_keys: DataFrame, nodes: DataFrame) -> DataFrame:
 
 
 def transcript_edges(transcripts: DataFrame, mode: str = "sort") -> tuple[DataFrame, DataFrame]:
-    """Full derivation: returns (nodes, edges) with long ids."""
+    """Full derivation: returns (nodes, edges) with long ids.
+
+    mode="hash" computes ids inline (xxhash64 on the key expression) — zero
+    joins, the 100 TB path; mode="sort" gives dense reproducible ids for
+    fixture/oracle work via the node dictionary."""
     keys = transcript_edge_keys(transcripts)
     nodes = node_ids(keys, mode=mode)
+    if mode == "hash":
+        edges = keys.select(
+            F.least(F.xxhash64("src_key"), F.xxhash64("dst_key")).alias("src"),
+            F.greatest(F.xxhash64("src_key"), F.xxhash64("dst_key")).alias("dst"),
+            "weight",
+        )
+        return nodes, edges
     return nodes, to_edge_ids(keys, nodes)
 
 
