@@ -279,13 +279,13 @@ def _q_pricing_summary(spark, sf_dir):
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(dec("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(38,4)").alias("sum_base_price"),
             F.sum(
                 (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
                     "decimal(28,8)"
                 )
-            ).alias("sum_disc_price"),
+            ).cast("decimal(38,8)").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -294,9 +294,9 @@ def _q_pricing_summary(spark, sf_dir):
 
 _PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DECIMAL(38,8)) AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01'
 GROUP BY l_returnflag, l_linestatus
@@ -316,7 +316,7 @@ def _q_top_revenue_orders(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey")
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -324,7 +324,7 @@ def _q_top_revenue_orders(spark, sf_dir):
 
 _TOP_REVENUE_SQL = """
 SELECT l_orderkey,
-       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS revenue
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DECIMAL(38,8)) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -350,14 +350,14 @@ def _q_region_revenue(spark, sf_dir):
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
-        .agg(F.sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
         .orderBy("r_name")
     )
 
 
 _REGION_REVENUE_SQL = """
 SELECT r_name,
-       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS revenue,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DECIMAL(38,8)) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -389,7 +389,7 @@ def _q_sessionize(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
             F.max("n_events").alias("max_session_events"),
-            F.sum("sum_value").alias("total_value"),
+            F.sum("sum_value").cast("decimal(38,6)").alias("total_value"),
         )
         .orderBy("user_id")
     )
@@ -416,7 +416,7 @@ per AS (
   FROM sess GROUP BY user_id, session_id
 )
 SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
-       sum(sum_value) AS total_value
+       CAST(sum(sum_value) AS DECIMAL(38,6)) AS total_value
 FROM per GROUP BY user_id ORDER BY user_id
 """
 
@@ -428,7 +428,7 @@ def _q_type_user_stats(spark, sf_dir):
         .agg(
             F.countDistinct("user_id").alias("n_users"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("sum_value"),
         )
         .orderBy("event_type")
     )
@@ -436,7 +436,7 @@ def _q_type_user_stats(spark, sf_dir):
 
 _TYPE_USER_SQL = """
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
 

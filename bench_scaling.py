@@ -59,10 +59,14 @@ pagerank(spark, sym, max_iter=iters, tol=0.0).agg(F.sum("score")).collect()
 dt_pr = time.monotonic() - t0
 
 # --- job 2: compute-bound minhash (box-bandwidth-free scaling signal) ---
-docs = tdf.select(
-    (F.xxhash64("conv_id") + F.col("turn_idx")).alias("doc_id"),
-    F.col("text"),
-).limit(200_000).cache()
+# NB: no limit() here — GlobalLimit collapses to one partition and would
+# serialize the map side; sample deterministically by hash instead
+docs = (
+    tdf.where(F.pmod(F.xxhash64("conv_id"), F.lit(20)) == 0)
+    .select((F.xxhash64("conv_id") + F.col("turn_idx")).alias("doc_id"), F.col("text"))
+    .repartition(cpus * 3)
+    .cache()
+)
 n_docs = docs.count()
 minhash_signatures(docs.limit(1000), num_hashes=8).count()  # warmup
 t0 = time.monotonic()
@@ -103,22 +107,24 @@ def main() -> None:
         iters = int(sys.argv[sys.argv.index("--iters") + 1])
     if "--nconv" in sys.argv:
         nconv = int(sys.argv[sys.argv.index("--nconv") + 1])
-    lo = run(8, iters, nconv)
-    hi = run(32, iters, nconv)
-    eff_pr = hi["pagerank"]["edges_per_sec"] / (4 * lo["pagerank"]["edges_per_sec"])
-    eff_mh = hi["minhash"]["docs_per_sec"] / (4 * lo["minhash"]["docs_per_sec"])
+    levels = {c: run(c, iters, nconv) for c in (2, 8, 32)}
+
+    def eff(a, b, job, key):
+        return round(levels[b][job][key] / (4 * levels[a][job][key]), 3)
+
     print(
         json.dumps(
             {
-                "metric": "scaling_efficiency_local8_vs_local32",
-                "value": round(eff_mh, 3),
+                "metric": "scaling_efficiency_N_to_4N",
+                "value": eff(2, 8, "pagerank", "edges_per_sec"),
                 "unit": "ratio",
-                "pagerank_efficiency": round(eff_pr, 3),
-                "minhash_efficiency": round(eff_mh, 3),
-                "low": lo,
-                "high": hi,
-                "note": "local[8] vs local[32] proxy for N vs 4N executors; "
-                "pagerank is memory-bus-bound on one box (BENCH.md discussion)",
+                "pagerank_efficiency_2_to_8": eff(2, 8, "pagerank", "edges_per_sec"),
+                "pagerank_efficiency_8_to_32": eff(8, 32, "pagerank", "edges_per_sec"),
+                "minhash_efficiency_2_to_8": eff(2, 8, "minhash", "docs_per_sec"),
+                "minhash_efficiency_8_to_32": eff(8, 32, "minhash", "docs_per_sec"),
+                "levels": levels,
+                "note": "local[N] proxies for N executors (32 physical cores, no SMT); "
+                "the 8->32 pair saturates the single box's memory bus — see BENCH.md",
             }
         )
     )
