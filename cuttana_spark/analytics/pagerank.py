@@ -127,12 +127,20 @@ def pagerank_csr(
     max_iter: int = 100,
     tol: float = 1e-10,
     runner=None,
+    bucketed_table: str | None = None,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """PageRank via CSR-block gather-scatter (see module docstring).
 
     vertex_partitions: DataFrame[vertex, partition_id] — from the Cuttana
     partitioner; blocks are co-located by partition_id so each superstep
     shuffles only the O(V) frontier, not the O(E) edges.
+
+    bucketed_table: if set, the packed blocks are written ONCE as a table
+    bucketed by partition_id; every superstep's cogroup then reads it with
+    the exchange elided (verified in the physical plan) — the O(E) side is
+    never reshuffled. This is the bucketing story from the north star and
+    the right mode on a real cluster.
     """
     from cuttana_spark.analytics.csr import pack_blocks, scatter_gather
 
@@ -146,8 +154,17 @@ def pagerank_csr(
     trans = edges.join(out_w, "src").select(
         "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
     )
-    blocks = pack_blocks(trans, vertex_partitions).cache()
-    blocks.count()  # materialize once; reused every superstep
+    if bucketed_table is not None:
+        k = num_buckets or int(
+            vertex_partitions.agg(F.max("partition_id")).first()[0]
+        ) + 1
+        pack_blocks(trans, vertex_partitions).write.bucketBy(
+            k, "partition_id"
+        ).mode("overwrite").saveAsTable(bucketed_table)
+        blocks = spark.table(bucketed_table)
+    else:
+        blocks = pack_blocks(trans, vertex_partitions).cache()
+        blocks.count()  # materialize once; reused every superstep
     vp = vertex_partitions.select("vertex", "partition_id")
     # carry partition_id through the loop so each superstep needs no extra
     # score→partition join (vertices without a partition — possible only for
