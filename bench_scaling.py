@@ -62,7 +62,7 @@ dt_pr = time.monotonic() - t0
 # NB: no limit() here — GlobalLimit collapses to one partition and would
 # serialize the map side; sample deterministically by hash instead
 docs = (
-    tdf.where(F.pmod(F.xxhash64("conv_id"), F.lit(20)) == 0)
+    tdf.where(F.pmod(F.xxhash64("conv_id"), F.lit(4)) == 0)
     .select((F.xxhash64("conv_id") + F.col("turn_idx")).alias("doc_id"), F.col("text"))
     .repartition(cpus * 3)
     .cache()
@@ -87,12 +87,14 @@ print(json.dumps({{
 def run(cpus: int, iters: int, nconv: int) -> dict:
     repo = os.path.dirname(os.path.abspath(__file__))
     code = WORKER.format(repo=repo)
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="48g")
     out = subprocess.run(
         [sys.executable, "-c", code, str(cpus), str(iters), str(nconv)],
         capture_output=True,
         text=True,
         timeout=2400,
         cwd=repo,
+        env=env,
     )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:

@@ -155,12 +155,13 @@ def pagerank_csr(
         "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
     )
     if bucketed_table is not None:
-        k = num_buckets or int(
-            vertex_partitions.agg(F.max("partition_id")).first()[0]
-        ) + 1
-        pack_blocks(trans, vertex_partitions).write.bucketBy(
-            k, "partition_id"
-        ).mode("overwrite").saveAsTable(bucketed_table)
+        if not spark.catalog.tableExists(bucketed_table):
+            k = num_buckets or int(
+                vertex_partitions.agg(F.max("partition_id")).first()[0]
+            ) + 1
+            pack_blocks(trans, vertex_partitions).write.bucketBy(
+                k, "partition_id"
+            ).mode("overwrite").saveAsTable(bucketed_table)
         blocks = spark.table(bucketed_table)
     else:
         blocks = pack_blocks(trans, vertex_partitions).cache()
