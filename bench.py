@@ -131,6 +131,12 @@ def main() -> None:
         PR_ITERS * 2 * n_edges / queries["pagerank_csr"], 1
     )
 
+    # cache hygiene: drop pagerank-era caches so CC/dedup timings aren't
+    # perturbed by memory pressure from dead cached data
+    vp.unpersist()
+    sym.unpersist()
+    spark.sql("DROP TABLE IF EXISTS bench_pr_blocks")
+
     with timed("connected_components"):
         cc = connected_components(spark, eids)
         cc.agg(F.countDistinct("component")).collect()
