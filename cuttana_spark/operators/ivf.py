@@ -1,0 +1,111 @@
+"""IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+scale path alongside LSH (similarity.py).
+
+Train: sample vectors to the driver, run a small numpy k-means (deterministic
+seed) → centroid list. Index: assign every corpus vector to its nearest
+centroid JVM-side (literal centroid arrays, zip_with/aggregate dot products —
+no Python in the assignment path). Search: probe the `nprobe` nearest
+centroids per query, exact cosine re-rank within those cells.
+
+At 100 TB the index assignment is one narrow column write; searches touch
+|corpus|·nprobe/n_cells vectors instead of the full corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cuttana_spark.operators.similarity import _dot, _norm
+
+
+def train_centroids(
+    df: DataFrame, n_cells: int = 16, sample: int = 2048, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Driver-side mini k-means on a deterministic sample (spherical)."""
+    rows = (
+        df.select("vec_id", "embedding")
+        .orderBy(F.pmod(F.xxhash64("vec_id"), F.lit(997)), "vec_id")
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r.embedding for r in rows], np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(X.shape[0], size=min(n_cells, X.shape[0]), replace=False)].copy()
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = sims.argmax(axis=1)
+        for c in range(C.shape[0]):
+            members = X[assign == c]
+            if members.shape[0]:
+                m = members.mean(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def _cell_scores(emb_col, centroids: np.ndarray) -> list:
+    e = emb_col.cast("array<double>")
+    cols = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        cols.append(_dot(e, lit_c) / F.greatest(_norm(e), F.lit(1e-12)))
+    return cols
+
+
+def assign_cells(df: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Adds `cell` = argmax centroid similarity (JVM-side expression tree)."""
+    scores = _cell_scores(F.col("embedding"), centroids)
+    arr = F.array(*scores)
+    best = F.array_position(arr, F.array_max(arr)) - 1
+    return df.withColumn("cell", best.cast("int"))
+
+
+def probe_cells(df: DataFrame, centroids: np.ndarray, nprobe: int) -> DataFrame:
+    """Adds exploded `cell` for the nprobe nearest centroids per query."""
+    scores = _cell_scores(F.col("embedding"), centroids)
+    pairs = F.array(
+        *[F.struct(s.alias("s"), F.lit(i).alias("c")) for i, s in enumerate(scores)]
+    )
+    top = F.slice(F.reverse(F.array_sort(pairs)), 1, nprobe)
+    return df.withColumn("cell", F.explode(F.transform(top, lambda x: x["c"]))).withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF cells + exact re-rank."""
+    C = train_centroids(corpus, n_cells=n_cells, seed=seed)
+    cb = assign_cells(corpus, C).select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("ce"), "cell"
+    )
+    qb = probe_cells(queries, C, nprobe).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell"
+    )
+    scored = (
+        qb.join(cb, "cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .dropDuplicates(["query_id", "match_id"])
+        .withColumn(
+            "cosine",
+            _dot(F.col("qe").cast("array<double>"), F.col("ce").cast("array<double>"))
+            / (
+                _norm(F.col("qe").cast("array<double>"))
+                * _norm(F.col("ce").cast("array<double>"))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )
