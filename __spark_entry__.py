@@ -702,6 +702,18 @@ def _q_lsh_ann(spark, sf_dir):
     return lsh_topk(q, emb, dim=dim, k=5, n_planes=4)
 
 
+
+
+def _q_ivf_ann(spark, sf_dir):
+    """IVF-cell ANN (rows-only: k-means quantizer not SQL-expressible;
+    recall vs brute force asserted in tests)."""
+    from cuttana_spark.operators.ivf import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(_EMB_SUBSET)
+    return ivf_topk(q, emb, n_cells=8, nprobe=3, k=5)
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing (rows-only; codec stubbed — see operators/multimodal)."""
     from cuttana_spark.operators.multimodal import extract_features, synth_media
@@ -713,6 +725,142 @@ def _q_multimodal_features(spark, sf_dir):
         "kind",
         F.round(F.element_at("feature", 1) * 1e6).cast("long").alias("f0_e6"),
     )
+
+
+
+
+def _q_corpus_select(spark, sf_dir):
+    """End-to-end training-corpus selection: quality gate + language filter +
+    exact dedup keepers — the composed pipeline a data-curation job runs."""
+    from cuttana_spark.operators.dedup import exact_dedup
+    from cuttana_spark.operators.text import with_language, with_quality, with_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = with_language(with_quality(with_token_count(docs)))
+    kept = scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("ws_tokens") >= 20) & (F.col("lang_pred") == "en")
+    )
+    canon = exact_dedup(docs).filter(F.col("doc_id") == F.col("canonical_id"))
+    return (
+        kept.join(canon, "doc_id")
+        .select("doc_id", "ws_tokens", F.round(F.col("quality") * 1e6).cast("long").alias("quality_e6"))
+        .orderBy("doc_id")
+    )
+
+
+_CORPUS_SELECT_SQL = f"""
+WITH q AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(str_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+         len(regexp_extract_all(lower(text), '\\b(the|and|is|of|to|in|that|it)\\b')) AS n_stop,
+         len(regexp_extract_all(lower(text), '\\b(the|and|is|of|to|in|that|it)\\b')) AS en_hits,
+         len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht|ein|zu)\\b')) AS de_hits,
+         len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|est|une|que)\\b')) AS fr_hits,
+         len(regexp_extract_all(lower(text), '\\b(el|la|los|que|es|una|por|con)\\b')) AS es_hits
+  FROM documents
+),
+quality AS (
+  SELECT doc_id, ws_tokens,
+         least(n_chars / 500.0, 1.0) * 0.4
+         + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 4.0, 1.0)) * 0.2
+         + (1.0 - least(CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) * 4.0, 1.0)) * 0.2
+         + least(CAST(n_stop AS DOUBLE) / greatest(n_words, 1) * 5.0, 1.0) * 0.2 AS quality,
+         CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+              WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+              WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+              WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+              ELSE 'es' END AS lang_pred
+  FROM q
+),
+fp AS (
+  SELECT doc_id, {_H64.format(x=_NORM.format(col='text'))} AS fpv FROM documents
+),
+canon AS (
+  SELECT f.doc_id FROM fp f
+  JOIN (SELECT fpv, min(doc_id) AS keeper FROM fp GROUP BY fpv) c
+    ON f.fpv = c.fpv AND f.doc_id = c.keeper
+)
+SELECT quality.doc_id, ws_tokens, CAST(round(quality * 1e6) AS BIGINT) AS quality_e6
+FROM quality JOIN canon ON quality.doc_id = canon.doc_id
+WHERE quality >= 0.5 AND ws_tokens >= 20 AND lang_pred = 'en'
+ORDER BY quality.doc_id
+"""
+
+
+def _q_set_ops(spark, sf_dir):
+    """Set-operation conformance: users who clicked but never purchased,
+    via EXCEPT; plus intersect count."""
+    ev = _read(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date").cast("string")
+    clicks = ev.filter("event_type = 'click'").select("user_id", day.alias("day")).distinct()
+    buys = ev.filter("event_type = 'purchase'").select("user_id", day.alias("day")).distinct()
+    return clicks.exceptAll(buys).distinct().orderBy("user_id", "day")
+
+
+_SET_OPS_SQL = """
+SELECT DISTINCT user_id, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day
+FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day
+FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, day
+"""
+
+
+def _q_having_subquery(spark, sf_dir):
+    """HAVING + correlated-style subquery conformance: customers whose total
+    order value exceeds 1.5x the average customer total."""
+    orders = _read(spark, sf_dir, "orders")
+    totals = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total")
+    )
+    avg_total = totals.agg(F.avg("total")).first()[0]
+    return (
+        totals.filter(F.col("total") > F.lit(float(avg_total) * 1.5))
+        .orderBy("o_custkey")
+        .select("o_custkey", "total")
+    )
+
+
+_HAVING_SQL = """
+WITH totals AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total FROM totals
+WHERE total > (SELECT avg(total) FROM totals) * 1.5
+ORDER BY o_custkey
+"""
+
+
+def _q_conditional_pivot(spark, sf_dir):
+    """CASE-WHEN pivot: per-user event-type counts as columns."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicks"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("views"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("purchases"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+FROM events GROUP BY user_id ORDER BY user_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -750,7 +898,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "lsh_ann": _q_lsh_ann,
+        "ivf_ann": _q_ivf_ann,
         "multimodal_features": _q_multimodal_features,
+        # composed pipeline + extra relational conformance
+        "corpus_select": _q_corpus_select,
+        "set_ops": _q_set_ops,
+        "having_subquery": _q_having_subquery,
+        "conditional_pivot": _q_conditional_pivot,
     }
 
 
@@ -777,6 +931,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "ann_topk": _ANN_SQL,
         "embedding_near_dups": _NEAR_DUP_SQL,
+        "corpus_select": _CORPUS_SELECT_SQL,
+        "set_ops": _SET_OPS_SQL,
+        "having_subquery": _HAVING_SQL,
+        "conditional_pivot": _PIVOT_SQL,
         # cc_transcripts, lpa_events, partition_transcripts,
         # pagerank_csr_transcripts, lsh_ann, multimodal_features: rows-only
     }
