@@ -174,10 +174,20 @@ class BatchedCuttanaPartitioner:
         ag = (k ** (gamma - 1.0) * vc_total / ec_total**gamma) * gamma if ec_total else 0.0
 
         n_buf = int(buffered.sum())
-        B = self.batch_size
+        # adaptive batch: staleness is relative (B/n), so large graphs can
+        # take proportionally larger batches at equal quality
+        B = max(self.batch_size, n_buf // 128)
         while n_buf > 0:
             b = min(B, n_buf)
-            cand = np.argpartition(-buf_score, b - 1)[:b]  # top-b buffered
+            # select top-b among *buffered only* (argpartition over the
+            # compacted candidate set, not the full vertex range)
+            cand_idx = np.flatnonzero(buffered)
+            if b < cand_idx.shape[0]:
+                sub = np.argpartition(-buf_score[cand_idx], b - 1)[:b]
+                cand = cand_idx[sub]
+            else:
+                cand = cand_idx
+                b = cand.shape[0]
             rows = row_of[cand]
             nb, seg, _ = _gather_flat(indptr, indices, rows)
 
@@ -240,10 +250,16 @@ class BatchedCuttanaPartitioner:
                 for p in np.unique(best[fb]).tolist():
                     rows_p = fb[best[fb] == p]
                     ssz = sub_sizes[p * S : (p + 1) * S]
-                    order = np.argsort(ssz, kind="stable")
                     m = rows_p.shape[0]
-                    reps = int(np.ceil(m / S))
-                    picks = np.tile(order, reps)[:m]
+                    if m < S:
+                        # partial selection of the m smallest subs (stable by
+                        # (size, index)), cheaper than a full 4096-sort
+                        part = np.argpartition(ssz, m)[: 2 * m if 2 * m < S else S]
+                        order = part[np.lexsort((part, ssz[part]))][:m]
+                        picks = order
+                    else:
+                        order = np.argsort(ssz, kind="stable")
+                        picks = np.tile(order, int(np.ceil(m / S)))[:m]
                     chosen[rows_p] = picks
             sub_assign[vset] = chosen.astype(np.int32)
             np.add.at(sub_sizes, best.astype(np.int64) * S + chosen, 1)
