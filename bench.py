@@ -116,8 +116,13 @@ def main() -> None:
     )
 
     # bucketed blocks: packed once by the warm-up call, reused shuffle-free
-    # by every later superstep (exchange elided — see pagerank_csr docstring)
+    # by every later superstep (exchange elided — see pagerank_csr docstring).
+    # NB: the in-memory catalog forgets tables between sessions but the
+    # managed-table directory persists — remove both.
     spark.sql("DROP TABLE IF EXISTS bench_pr_blocks")
+    import shutil
+
+    shutil.rmtree("spark-warehouse/bench_pr_blocks", ignore_errors=True)
     pagerank_csr(
         spark, sym, vp, max_iter=1, tol=0.0, bucketed_table="bench_pr_blocks"
     ).agg(F.sum("score")).collect()
