@@ -35,15 +35,21 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _transcripts(spark: SparkSession) -> DataFrame:
+def _ensure_transcripts_file() -> str:
     """Deterministic transcripts fixture (N_CONV=2000, FIXTURES.md §1);
-    generated on first use, then read from parquet by both engines."""
+    generated on first use (pure pyarrow — no Spark needed), read from
+    parquet by BOTH engines. Called from queries() and oracle_sql() so the
+    file exists regardless of which side the driver evaluates first."""
     if not os.path.exists(TRANSCRIPTS_PARQUET):
         from cuttana_spark import transcripts as T
 
         os.makedirs(FIXTURE_DIR, exist_ok=True)
         T.write_parquet(TRANSCRIPTS_PARQUET, n_conv=2000)
-    return spark.read.parquet(TRANSCRIPTS_PARQUET)
+    return TRANSCRIPTS_PARQUET
+
+
+def _transcripts(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(_ensure_transcripts_file())
 
 
 # --------------------------------------------------------------------------
@@ -909,7 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    _transcripts_path_dep = None  # transcripts fixture written by queries()
+    _ensure_transcripts_file()  # oracle SQL reads the fixture by path
     return {
         "edges_from_events": _EVENT_EDGES_SQL,
         "edges_from_transcripts": _transcript_edges_sql(),
