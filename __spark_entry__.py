@@ -869,6 +869,36 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+
+
+
+_DEGREE_HIST_SQL_TMPL = """
+WITH e AS ({edges}),
+sym AS (
+  SELECT src_key AS v FROM e
+  UNION ALL
+  SELECT dst_key AS v FROM e
+),
+deg AS (SELECT v, count(*) AS degree FROM sym GROUP BY v)
+SELECT CAST(floor(log2(degree)) AS INT) AS bucket, count(*) AS n_vertices
+FROM deg GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q_degree_histogram(spark, sf_dir):
+    """Log2-bucketed degree distribution of the transcripts graph."""
+    from cuttana_spark.operators import edges as E
+
+    nodes, eids = E.transcript_edges(_transcripts(spark))
+    deg = E.degrees(eids)
+    return (
+        deg.select(F.floor(F.log2("degree")).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .orderBy("bucket")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -911,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": _q_set_ops,
         "having_subquery": _q_having_subquery,
         "conditional_pivot": _q_conditional_pivot,
+        "degree_histogram": _q_degree_histogram,
     }
 
 
@@ -941,6 +972,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _SET_OPS_SQL,
         "having_subquery": _HAVING_SQL,
         "conditional_pivot": _PIVOT_SQL,
+        "degree_histogram": _DEGREE_HIST_SQL_TMPL.format(edges=_transcript_edges_sql()),
         # cc_transcripts, lpa_events, partition_transcripts,
         # pagerank_csr_transcripts, lsh_ann, multimodal_features: rows-only
     }
