@@ -899,6 +899,73 @@ def _q_degree_histogram(spark, sf_dir):
     )
 
 
+
+
+def _q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs (band join + XOR popcount verify)."""
+    from cuttana_spark.operators.dedup import simhash_pairs
+
+    docs = _read(spark, sf_dir, "documents").filter(_DOCS_SUBSET)
+    return simhash_pairs(docs, bits=16, bands=4, max_hamming=6)
+
+
+def _simhash_pairs_sql() -> str:
+    inner = _simhash_sql().strip()
+    bands = []
+    for b in range(4):
+        bands.append(
+            f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * 4}) & 15 AS bsig FROM sig"
+        )
+    banded = " UNION ALL ".join(bands)
+    return f"""
+WITH sig AS ({inner}),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash AS sa, y.simhash AS sb
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bsig = y.bsig
+  WHERE x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+"""
+
+
+def _q_rollup_events(spark, sf_dir):
+    """ROLLUP conformance: event counts by (event_type, day) with subtotals."""
+    ev = _read(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date").cast("string")
+    return (
+        ev.select("event_type", day.alias("day"), "value")
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("day", F.lit("<all>")).alias("day"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(day, '<all>') AS day,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+FROM (
+  SELECT event_type, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day, value
+  FROM events
+)
+GROUP BY ROLLUP (event_type, day)
+ORDER BY event_type, day
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -942,6 +1009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "having_subquery": _q_having_subquery,
         "conditional_pivot": _q_conditional_pivot,
         "degree_histogram": _q_degree_histogram,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "rollup_events": _q_rollup_events,
     }
 
 
@@ -972,6 +1041,8 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _SET_OPS_SQL,
         "having_subquery": _HAVING_SQL,
         "conditional_pivot": _PIVOT_SQL,
+        "simhash_near_dups": _simhash_pairs_sql(),
+        "rollup_events": _ROLLUP_SQL,
         "degree_histogram": _DEGREE_HIST_SQL_TMPL.format(edges=_transcript_edges_sql()),
         # cc_transcripts, lpa_events, partition_transcripts,
         # pagerank_csr_transcripts, lsh_ann, multimodal_features: rows-only

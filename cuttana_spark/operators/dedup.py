@@ -171,3 +171,49 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
         term = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return agg.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band-exact-match candidate join (a pair
+    within hamming distance d < bands must share at least one exact band),
+    verified with a popcount on the XOR of full signatures.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b, hamming <= max_hamming.
+    """
+    sig = simhash(df, text_col, bits=bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    # shiftright needs a literal shift → unroll bands in Python (tiny loop)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("bsig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", "simhash", "bs.band", "bs.bsig")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bsig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
