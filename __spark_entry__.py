@@ -6,7 +6,11 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 value-hash → CORRECTNESS_r{N}.json).
 
 Conventions used so Spark and DuckDB hash identically:
-  * money/quantity aggregates go through DECIMAL (exact, engine-independent);
+  * EVERY numeric output is int64 (BIGINT) on both sides. Money/metric
+    doubles are scaled per row BEFORE aggregation (round(x*1e4/1e6) ->
+    BIGINT) so both engines sum identical integers; DuckDB integer sums are
+    wrapped in CAST(... AS BIGINT) because DuckDB widens sum(BIGINT) to
+    HUGEINT (round-1 value-hash failures were exactly these widenings);
   * floating scores are scaled+rounded to BIGINT (e.g. round(score*1e12));
   * hashes are the portable md5-prefix-to-bigint (identical expressions);
   * timestamps are never returned raw — epoch seconds instead.
@@ -280,18 +284,22 @@ def _q_pagerank_csr_transcripts(spark, sf_dir):
 
 
 def _q_pricing_summary(spark, sf_dir):
+    """Money convention (driver value-hash safe): scale each double to an
+    int64 BEFORE aggregating — round(x*1e4) per row, sum as BIGINT — so both
+    engines sum identical integers. Decimal sums hash-mismatched in round 1
+    (DuckDB HUGEINT/decimal rendering); per-row-scaled BIGINT is exact and
+    engine-independent."""
     li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1999-01-01")
-    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    e4 = lambda c: F.round(c * 1e4).cast("long")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(38,4)").alias("sum_base_price"),
+            F.sum(e4(F.col("l_quantity"))).alias("sum_qty_e4"),
+            F.sum(e4(F.col("l_extendedprice"))).alias("sum_base_price_e4"),
             F.sum(
-                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
-                    "decimal(28,8)"
-                )
-            ).cast("decimal(38,8)").alias("sum_disc_price"),
+                F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 1e6)
+                .cast("long")
+            ).alias("sum_disc_price_e6"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -300,9 +308,9 @@ def _q_pricing_summary(spark, sf_dir):
 
 _PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DECIMAL(38,8)) AS sum_disc_price,
+       CAST(sum(CAST(round(l_quantity * 1e4) AS BIGINT)) AS BIGINT) AS sum_qty_e4,
+       CAST(sum(CAST(round(l_extendedprice * 1e4) AS BIGINT)) AS BIGINT) AS sum_base_price_e4,
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e6) AS BIGINT)) AS BIGINT) AS sum_disc_price_e6,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01'
 GROUP BY l_returnflag, l_linestatus
@@ -314,29 +322,28 @@ def _q_top_revenue_orders(spark, sf_dir):
     cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,4)")
-        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
-    ).cast("decimal(28,8)")
+    rev_e6 = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 1e6).cast(
+        "long"
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey")
-        .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
-        .orderBy(F.desc("revenue"), "l_orderkey")
+        .agg(F.sum(rev_e6).alias("revenue_e6"))
+        .orderBy(F.desc("revenue_e6"), "l_orderkey")
         .limit(10)
     )
 
 
 _TOP_REVENUE_SQL = """
 SELECT l_orderkey,
-       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DECIMAL(38,8)) AS revenue
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e6) AS BIGINT)) AS BIGINT) AS revenue_e6
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey
-ORDER BY revenue DESC, l_orderkey LIMIT 10
+ORDER BY revenue_e6 DESC, l_orderkey LIMIT 10
 """
 
 
@@ -346,24 +353,23 @@ def _q_region_revenue(spark, sf_dir):
     cust = _read(spark, sf_dir, "customer")
     orders = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,4)")
-        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
-    ).cast("decimal(28,8)")
+    rev_e6 = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 1e6).cast(
+        "long"
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
-        .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(F.sum(rev_e6).alias("revenue_e6"), F.count(F.lit(1)).alias("n_items"))
         .orderBy("r_name")
     )
 
 
 _REGION_REVENUE_SQL = """
 SELECT r_name,
-       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DECIMAL(38,8)) AS revenue,
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e6) AS BIGINT)) AS BIGINT) AS revenue_e6,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -389,13 +395,13 @@ def _q_sessionize(spark, sf_dir):
         sess.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("sum_value_e6"),
         )
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
             F.max("n_events").alias("max_session_events"),
-            F.sum("sum_value").cast("decimal(38,6)").alias("total_value"),
+            F.sum("sum_value_e6").alias("total_value_e6"),
         )
         .orderBy("user_id")
     )
@@ -418,11 +424,11 @@ sess AS (
 ),
 per AS (
   SELECT user_id, session_id, count(*) AS n_events,
-         sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+         CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_e6
   FROM sess GROUP BY user_id, session_id
 )
-SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
-       CAST(sum(sum_value) AS DECIMAL(38,6)) AS total_value
+SELECT user_id, count(*) AS n_sessions, CAST(max(n_events) AS BIGINT) AS max_session_events,
+       CAST(sum(sum_value_e6) AS BIGINT) AS total_value_e6
 FROM per GROUP BY user_id ORDER BY user_id
 """
 
@@ -434,7 +440,7 @@ def _q_type_user_stats(spark, sf_dir):
         .agg(
             F.countDistinct("user_id").alias("n_users"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("sum_value"),
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("sum_value_e6"),
         )
         .orderBy("event_type")
     )
@@ -442,7 +448,7 @@ def _q_type_user_stats(spark, sf_dir):
 
 _TYPE_USER_SQL = """
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_e6
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -819,27 +825,34 @@ ORDER BY user_id, day
 
 
 def _q_having_subquery(spark, sf_dir):
-    """HAVING + correlated-style subquery conformance: customers whose total
-    order value exceeds 1.5x the average customer total."""
+    """HAVING + scalar-subquery conformance: customers whose total order
+    value exceeds 1.5x the average customer total. The threshold test is
+    pure int64 math (2*n*total > 3*sum_of_totals) so both engines decide
+    boundaries identically, and the scalar aggregate stays IN the plan via a
+    1-row broadcast crossJoin — one job, no driver round-trip."""
     orders = _read(spark, sf_dir, "orders")
     totals = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total")
+        F.sum(F.round(F.col("o_totalprice") * 1e4).cast("long")).alias("total_e4")
     )
-    avg_total = totals.agg(F.avg("total")).first()[0]
+    glob = totals.agg(
+        F.sum("total_e4").alias("grand"), F.count(F.lit(1)).alias("n_cust")
+    )
     return (
-        totals.filter(F.col("total") > F.lit(float(avg_total) * 1.5))
+        totals.crossJoin(F.broadcast(glob))
+        .filter(F.lit(2) * F.col("n_cust") * F.col("total_e4") > F.lit(3) * F.col("grand"))
         .orderBy("o_custkey")
-        .select("o_custkey", "total")
+        .select("o_custkey", "total_e4")
     )
 
 
 _HAVING_SQL = """
 WITH totals AS (
-  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 1e4) AS BIGINT)) AS BIGINT) AS total_e4
   FROM orders GROUP BY o_custkey
-)
-SELECT o_custkey, total FROM totals
-WHERE total > (SELECT avg(total) FROM totals) * 1.5
+),
+overall AS (SELECT CAST(sum(total_e4) AS BIGINT) AS grand, count(*) AS n_cust FROM totals)
+SELECT o_custkey, total_e4 FROM totals, overall
+WHERE 2 * n_cust * total_e4 > 3 * grand
 ORDER BY o_custkey
 """
 
@@ -861,10 +874,10 @@ def _q_conditional_pivot(spark, sf_dir):
 
 _PIVOT_SQL = """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
 FROM events GROUP BY user_id ORDER BY user_id
 """
 
@@ -940,13 +953,13 @@ def _q_rollup_events(spark, sf_dir):
         .rollup("event_type", "day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("sum_value"),
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("sum_value_e6"),
         )
         .select(
             F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
             F.coalesce("day", F.lit("<all>")).alias("day"),
             "n_events",
-            "sum_value",
+            "sum_value_e6",
         )
         .orderBy("event_type", "day")
     )
@@ -956,7 +969,7 @@ _ROLLUP_SQL = """
 SELECT coalesce(event_type, '<all>') AS event_type,
        coalesce(day, '<all>') AS day,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_e6
 FROM (
   SELECT event_type, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day, value
   FROM events
@@ -1056,7 +1069,7 @@ deg AS (
   UNION ALL
   SELECT dst_key AS node, weight FROM e
 )
-SELECT node, sum(weight) AS weighted_degree
+SELECT node, CAST(sum(weight) AS BIGINT) AS weighted_degree
 FROM deg GROUP BY node
 ORDER BY weighted_degree DESC, node LIMIT 10
 """
