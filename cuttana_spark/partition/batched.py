@@ -13,8 +13,11 @@ Exactness notes vs the sequential core:
     θ·(assigned_nbrs_now/deg) + deg/threshold exactly (each neighbor
     assignment bumps θ/deg — /root/reference/src/buffer.rs:150-168), so
     computing scores lazily at drain start is EXACT while no evictions
-    happen mid-stream (max_buffer_size overflow is the only exception, and
-    is handled by draining a batch early — an approximation);
+    happen mid-stream. NOTE: this batched variant IGNORES
+    cfg.max_buffer_size — the entire low-degree population is buffered and
+    drained at finish (the sequential core honors the mid-stream eviction);
+    driver memory is therefore O(V + E) for the buffered stream (see the
+    ceiling note in core.iter_adjacency_batches / README);
   * within a batch, sizes/neighbor assignments are frozen at the snapshot —
     the B vertices of a batch don't see each other (quality validated
     against the golden bands in tests, which is also how we validate the

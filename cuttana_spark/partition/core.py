@@ -417,10 +417,19 @@ def iter_adjacency_batches(adj_df, streaming: bool = False) -> Iterator[tuple[np
     adjacency in parallel; the driver consumes it sequentially.
 
     streaming=True spools the adjacency to parquet first and streams record
-    batches from disk (O(batch) driver memory — the 100 TB path, mirroring
-    how the reference streams its adjacency file from disk,
+    batches from disk (the iterator itself holds O(batch) driver memory,
+    mirroring how the reference streams its adjacency file from disk,
     /root/reference/src/stream.rs:23-55). streaming=False collects via
     Arrow in one shot (fastest at sandbox scale).
+
+    Driver-memory ceiling (honest accounting): the CONSUMERS are a
+    sequential stage — the sequential core buffers low-degree vertices until
+    eviction, and the batched partitioner accumulates the whole stream — so
+    partitioning a graph needs roughly V*40 B + E*8 B of driver RAM
+    (~1.3 GB per 100 M edges). The partition step is inherently sequential
+    (the reference is a single-threaded streaming partitioner); everything
+    downstream of the assignment (materialize, CSR, supersteps) is fully
+    distributed.
     """
     import pyarrow as pa
 
@@ -442,10 +451,18 @@ def iter_adjacency_batches(adj_df, streaming: bool = False) -> Iterator[tuple[np
             src = src.combine_chunks()
         if isinstance(nbrs, pa.ChunkedArray):
             nbrs = nbrs.combine_chunks()
+        # A sliced ListArray keeps raw offsets (offsets[0] > 0) pointing into
+        # the FULL unsliced child array. Rebase to zero and slice the child so
+        # every yielded batch is contiguous and zero-based — consumers
+        # (add_batch in particular) rely on offsets[0] == 0 and
+        # offsets[-1] == len(values).
+        offsets = nbrs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = nbrs.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        off0 = offsets[0] if offsets.shape[0] else 0
         yield (
             src.to_numpy(zero_copy_only=False).astype(np.int64),
-            nbrs.offsets.to_numpy(zero_copy_only=False).astype(np.int64),
-            nbrs.values.to_numpy(zero_copy_only=False).astype(np.int64),
+            offsets - off0,
+            values[off0 : offsets[-1]] if offsets.shape[0] else values[:0],
         )
 
 

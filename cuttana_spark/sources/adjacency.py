@@ -36,11 +36,20 @@ def from_adjacency_list(spark: SparkSession, data: list[tuple[int, list[int]]]) 
 
 
 def to_edges(adj: DataFrame) -> DataFrame:
-    """Adjacency → canonical undirected edge table (src < dst, weight)."""
+    """Adjacency → canonical undirected edge table (src < dst, weight).
+
+    A symmetric adjacency lists every undirected edge twice, so weight =
+    count/2; if the input lists an edge an odd number of times (asymmetric
+    input, or genuine odd multiplicity), halving would floor to 0 and emit
+    zero-weight edges that break weighted PageRank downstream — clamp with
+    greatest(1, ceil(count/2)) instead.
+    """
     e = adj.select("src", F.explode("nbrs").alias("dst"))
     return (
         e.select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
-        .agg((F.count(F.lit(1)) / 2).cast("long").alias("weight"))
+        .agg(
+            F.greatest(F.lit(1), F.ceil(F.count(F.lit(1)) / 2)).cast("long").alias("weight")
+        )
     )

@@ -66,3 +66,66 @@ def test_streaming_edges_equal_batch(spark, sf_dir, tmp_path):
     got = {(r.src_key, r.dst_key, r.weight) for r in streamed.collect()}
     want = {(r.src_key, r.dst_key, r.weight) for r in batch.collect()}
     assert got == want
+
+
+def test_iter_adjacency_batches_rebases_sliced_offsets(spark):
+    """A >65536-row adjacency forces toArrow().to_batches to SLICE the list
+    column: sliced ListArrays keep raw offsets (offsets[0] > 0) into the full
+    child array. The seam must rebase each batch to zero-based contiguous
+    (offsets, values) or every batch after the first silently reads wrong
+    neighbor slices (round-1 ADVICE, batched.add_batch corruption)."""
+    import numpy as np
+
+    from cuttana_spark.partition.core import iter_adjacency_batches
+
+    n = 70_000  # > 65536 so at least two sliced batches
+    df = spark.range(n).coalesce(1).selectExpr(
+        "id AS src", "array(id + 1, id * 2) AS nbrs"
+    )
+    seen = 0
+    batches = 0
+    for src, offsets, values in iter_adjacency_batches(df):
+        batches += 1
+        assert offsets[0] == 0
+        assert offsets[-1] == values.shape[0]
+        lens = np.diff(offsets)
+        assert (lens == 2).all()
+        # each row's slice must be exactly (src+1, src*2)
+        assert (values[0::2] == src + 1).all()
+        assert (values[1::2] == src * 2).all()
+        seen += src.shape[0]
+    assert batches >= 2
+    assert seen == n
+
+
+def test_batched_partitioner_same_result_sliced_vs_whole(spark):
+    """Batched partitioner fed per-Arrow-batch chunks (sliced path) must
+    produce the identical assignment to one monolithic add_batch call."""
+    import numpy as np
+
+    from cuttana_spark.partition.batched import BatchedCuttanaPartitioner
+    from cuttana_spark.partition.core import iter_adjacency_batches
+
+    n = 70_000
+    df = spark.range(n).coalesce(1).selectExpr(
+        "id AS src", "array((id + 1) % 70000, (id * 7 + 3) % 70000) AS nbrs"
+    )
+    chunks = list(iter_adjacency_batches(df))
+
+    p1 = BatchedCuttanaPartitioner(4)
+    for src, offsets, values in chunks:
+        p1.add_batch(src, offsets, values)
+    r1 = p1.finish()
+
+    src_all = np.concatenate([c[0] for c in chunks])
+    vals_all = np.concatenate([c[2] for c in chunks])
+    lens_all = np.concatenate([np.diff(c[1]) for c in chunks])
+    offs_all = np.concatenate([[0], np.cumsum(lens_all)])
+    p2 = BatchedCuttanaPartitioner(4)
+    p2.add_batch(src_all, offs_all, vals_all)
+    r2 = p2.finish()
+
+    assert (r1.vertices == r2.vertices).all()
+    assert (r1.partitions == r2.partitions).all()
+    assert (r1.sub_partitions == r2.sub_partitions).all()
+    assert r1.edge_cut_ratio == r2.edge_cut_ratio
