@@ -686,32 +686,96 @@ FROM ranked WHERE rank <= 5
 
 
 def _q_embedding_near_dups(spark, sf_dir):
+    """LSH-bucketed near-dups (4 seeded hyperplanes, Hamming<=1 multiprobe,
+    exact-cosine verify within shared buckets). The oracle replicates the
+    same planes/probes in SQL, so the declared approximate semantics are
+    checked exactly — no CartesianProduct anywhere in the plan."""
     from cuttana_spark.operators.similarity import embedding_near_dups
 
     emb = _read(spark, sf_dir, "embeddings").filter("vec_id % 5 = 0")
-    return embedding_near_dups(emb, threshold=0.25).select(
+    return embedding_near_dups(emb, threshold=0.25, n_planes=4, multiprobe=1).select(
         "vec_a", "vec_b", F.round(F.col("cosine") * 1e9).cast("long").alias("cosine_e9")
     )
 
 
-_NEAR_DUP_SQL = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id % 5 = 0)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       CAST(round(list_cosine_similarity(a.emb, b.emb) * 1e9) AS BIGINT) AS cosine_e9
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.emb, b.emb) >= 0.25
+def _plane_lits_sql(dim: int, n_planes: int, seed: int = 42) -> list[str]:
+    """The same seeded hyperplanes the Spark operator ships, as DuckDB
+    DOUBLE[] literals (values are rounded to 6 decimals on both sides, so
+    the literals are exact)."""
+    from cuttana_spark.operators.similarity import _hyperplanes
+
+    return [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+        for p in _hyperplanes(dim, n_planes, seed)
+    ]
+
+
+def _lsh_bucket_expr(emb: str, dim: int, n_planes: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({emb}, {lit}) >= 0 THEN {2**j} ELSE 0 END)"
+        for j, lit in enumerate(_plane_lits_sql(dim, n_planes))
+    )
+
+
+def _near_dup_sql() -> str:
+    bucket = _lsh_bucket_expr("emb", 64, 4)
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << j})" for j in range(4)])
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id % 5 = 0),
+bk AS (SELECT vec_id, emb, ({bucket}) AS bucket FROM e),
+pr AS (SELECT vec_id, unnest([{probes}]) AS bucket FROM bk),
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM pr a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT va AS vec_a, vb AS vec_b,
+       CAST(round(list_cosine_similarity(ea.emb, eb.emb) * 1e9) AS BIGINT) AS cosine_e9
+FROM cand JOIN e ea ON ea.vec_id = va JOIN e eb ON eb.vec_id = vb
+WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.25
 """
 
 
 def _q_lsh_ann(spark, sf_dir):
-    """LSH-bucketed ANN (rows-only: hyperplane hashing isn't reproducible in
-    SQL; recall vs brute force asserted in tests)."""
+    """LSH-bucketed ANN top-k. The seeded hyperplanes are deterministic
+    literal arrays, so the full pipeline (bucket, Hamming<=1 probe, exact
+    re-rank) is replicated verbatim in the DuckDB oracle."""
     from cuttana_spark.operators.similarity import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.filter(_EMB_SUBSET)
     dim = len(emb.select("embedding").first()[0])
-    return lsh_topk(q, emb, dim=dim, k=5, n_planes=4)
+    top = lsh_topk(q, emb, dim=dim, k=5, n_planes=4)
+    return top.select(
+        "query_id",
+        "rank",
+        "match_id",
+        F.round(F.col("cosine") * 1e9).cast("long").alias("cosine_e9"),
+    )
+
+
+def _lsh_ann_sql() -> str:
+    bucket = _lsh_bucket_expr("emb", 64, 4)
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << j})" for j in range(4)])
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS emb, ({bucket}) AS bucket FROM embeddings),
+q AS (SELECT vec_id, emb, unnest([{probes}]) AS bucket
+      FROM c WHERE {_EMB_SUBSET}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS match_id
+  FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT query_id, match_id, list_cosine_similarity(cq.emb, cc.emb) AS cosine
+  FROM cand JOIN c cq ON cq.vec_id = query_id JOIN c cc ON cc.vec_id = match_id
+),
+ranked AS (
+  SELECT query_id, match_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, match_id, CAST(round(cosine * 1e9) AS BIGINT) AS cosine_e9
+FROM ranked WHERE rank <= 5
+"""
 
 
 
@@ -724,6 +788,23 @@ def _q_ivf_ann(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.filter(_EMB_SUBSET)
     return ivf_topk(q, emb, n_cells=8, nprobe=3, k=5)
+
+
+def _q_ivf_ann_full(spark, sf_dir):
+    """IVF with nprobe = n_cells probes every cell, so the result must equal
+    exact brute-force top-k — a full oracle over the IVF machinery (k-means
+    quantizer, cell assignment, probe explode, within-cell re-rank)."""
+    from cuttana_spark.operators.ivf import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(_EMB_SUBSET)
+    top = ivf_topk(q, emb, n_cells=8, nprobe=8, k=5)
+    return top.select(
+        "query_id",
+        "rank",
+        "match_id",
+        F.round(F.col("cosine") * 1e9).cast("long").alias("cosine_e9"),
+    )
 
 
 def _q_multimodal_features(spark, sf_dir):
@@ -1015,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "lsh_ann": _q_lsh_ann,
         "ivf_ann": _q_ivf_ann,
+        "ivf_ann_full": _q_ivf_ann_full,
         "multimodal_features": _q_multimodal_features,
         # composed pipeline + extra relational conformance
         "corpus_select": _q_corpus_select,
@@ -1049,7 +1131,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sigs": _minhash_sql(),
         "simhash": _simhash_sql(),
         "ann_topk": _ANN_SQL,
-        "embedding_near_dups": _NEAR_DUP_SQL,
+        "embedding_near_dups": _near_dup_sql(),
+        "lsh_ann": _lsh_ann_sql(),
+        "ivf_ann_full": _ANN_SQL,
         "corpus_select": _CORPUS_SELECT_SQL,
         "set_ops": _SET_OPS_SQL,
         "having_subquery": _HAVING_SQL,

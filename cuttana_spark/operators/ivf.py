@@ -23,13 +23,22 @@ from cuttana_spark.operators.similarity import _dot, _norm
 def train_centroids(
     df: DataFrame, n_cells: int = 16, sample: int = 2048, iters: int = 10, seed: int = 42
 ) -> np.ndarray:
-    """Driver-side mini k-means on a deterministic sample (spherical)."""
-    rows = (
-        df.select("vec_id", "embedding")
-        .orderBy(F.pmod(F.xxhash64("vec_id"), F.lit(997)), "vec_id")
-        .limit(sample)
-        .collect()
+    """Driver-side mini k-means on a deterministic sample (spherical).
+
+    Sampling is a hash-mod FILTER (pushable, embarrassingly parallel), not an
+    orderBy(hash).limit — a global sort of the corpus would be a scale-killer
+    and limit() collapses to one partition. The ~4x-oversampled filtered set
+    is collected (bounded), sorted by vec_id for determinism, and subsampled
+    with the seeded RNG."""
+    total = df.count()
+    mod = max(1, total // (sample * 4))
+    cand = df.select("vec_id", "embedding").filter(
+        F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0
     )
+    rows = sorted(cand.collect(), key=lambda r: r.vec_id)
+    if len(rows) > sample:
+        idx = np.random.RandomState(seed).choice(len(rows), size=sample, replace=False)
+        rows = [rows[i] for i in np.sort(idx)]
     X = np.array([r.embedding for r in rows], np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)

@@ -133,14 +133,53 @@ def lsh_topk(
     )
 
 
-def embedding_near_dups(df: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Near-duplicate pairs by cosine >= threshold (vec_a < vec_b).
-    Brute-force within LSH buckets keeps it sub-quadratic at scale."""
-    a = df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+def probe_buckets(bucket, n_planes: int, multiprobe: int):
+    """Probe set for a bucket key: the bucket itself, plus all keys at
+    Hamming distance <= multiprobe (bit flips). multiprobe=0 -> [bucket]."""
+    probes = [bucket]
+    if multiprobe >= 1:
+        probes += [bucket.bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+    if multiprobe >= 2:
+        probes += [
+            bucket.bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return F.array(*probes)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    multiprobe: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold (vec_a < vec_b),
+    LSH-bucketed: each vector hashes to a sign-bit bucket over n_planes
+    seeded hyperplanes; side A additionally probes every bucket within
+    Hamming distance `multiprobe`; exact cosine verifies candidates that
+    share a probed bucket. Work is sum over buckets of |A_bucket|*|B_bucket|
+    — sub-quadratic for spread buckets — instead of the all-pairs product.
+
+    Approximate by construction: a pair whose keys differ in more than
+    `multiprobe` bits is never compared (recall is a function of
+    threshold/planes; near-dup thresholds ~0.9+ keep it near 1). The driver
+    oracle replicates the same planes/probes in SQL, so correctness is
+    checked against the declared semantics, not against brute force.
+    """
+    dim = len(df.select("embedding").first()[0])
+    base = lsh_bucket(df, dim, n_planes, seed)
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.explode(probe_buckets(F.col("bucket"), n_planes, multiprobe)).alias("bucket"),
+    )
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
     return (
-        a.crossJoin(b)
+        a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])  # probes can re-find a pair
         .withColumn(
             "cosine",
             _dot(F.col("ea").cast("array<double>"), F.col("eb").cast("array<double>"))

@@ -138,3 +138,37 @@ def test_multimodal_features(spark):
     frames = M.frame_sample(media, every_ms=400, fake=True)
     assert frames.count() > 0
     assert frames.schema.simpleString() == "struct<media_id:bigint,frame_ts_ms:int,frame:binary>"
+
+
+def test_embedding_near_dups_bucketed_equals_brute_force_on_tight_dups(spark):
+    """At near-dup thresholds (cosine >= 0.98) the LSH-bucketed operator must
+    find exactly the pairs brute force finds: clusters of tiny perturbations
+    land in the same (or Hamming<=2) bucket with the pinned seed."""
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((12, 16))
+    rows = []
+    vid = 0
+    for i in range(12):
+        for _ in range(3):  # 3 near-identical copies per cluster
+            v = base[i] + rng.standard_normal(16) * 0.01
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    bucketed = S.embedding_near_dups(df, threshold=0.98, n_planes=4, multiprobe=2)
+    got = {(r.vec_a, r.vec_b) for r in bucketed.collect()}
+
+    a = df.selectExpr("vec_id AS vec_a", "embedding AS ea")
+    b = df.selectExpr("vec_id AS vec_b", "embedding AS eb")
+    brute = (
+        S.with_cosine(a.crossJoin(b).filter("vec_a < vec_b"), "ea", "eb")
+        .filter("cosine >= 0.98")
+        .collect()
+    )
+    want = {(r.vec_a, r.vec_b) for r in brute}
+    assert want, "fixture must produce near-dup pairs"
+    assert got == want
+
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
