@@ -127,6 +127,115 @@ FROM pairs GROUP BY 1, 2
 """
 
 
+def _graph_ids_ctes(edges_sql: str) -> str:
+    """Shared CTE prelude: string-keyed edges -> dense long ids identical to
+    operators.edges.node_ids(mode='sort') (row_number over sorted keys), plus
+    the symmetrized directed view. Lets iterative oracles (CC / LPA /
+    PageRank) run on the same integer vertex ids as the Spark queries."""
+    return f"""
+ek AS MATERIALIZED ({edges_sql}),
+nk AS MATERIALIZED (
+  SELECT node_key, row_number() OVER (ORDER BY node_key) - 1 AS vid
+  FROM (SELECT src_key AS node_key FROM ek UNION SELECT dst_key FROM ek)
+),
+eid AS MATERIALIZED (
+  SELECT least(ns.vid, nd.vid) AS src, greatest(ns.vid, nd.vid) AS dst, ek.weight
+  FROM ek JOIN nk ns ON ns.node_key = ek.src_key JOIN nk nd ON nd.node_key = ek.dst_key
+),
+sym AS MATERIALIZED (
+  SELECT src, dst, weight FROM eid
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM eid
+)"""
+
+
+def _cc_sql(rounds: int = 22) -> str:
+    """Connected components at convergence: min-label propagation with
+    pointer-jumping compression (lab <- lab[lab]) converges in O(log n)
+    rounds — 18 on this fixture, unrolled to `rounds` for margin. The final
+    labels equal the Spark small/large-star fixpoint (min vertex id per
+    component), so this is a REAL convergence oracle, not a fixed-iteration
+    approximation."""
+    parts = [_graph_ids_ctes(_transcript_edges_sql())]
+    parts.append(",\nc0 AS MATERIALIZED (SELECT vid AS v, vid AS lab FROM nk)")
+    for r in range(1, rounds + 1):
+        p = f"c{r - 1}"
+        parts.append(
+            f""",
+m{r} AS MATERIALIZED (SELECT e.dst AS v, min(l.lab) AS mlab FROM sym e JOIN {p} l ON l.v = e.src GROUP BY e.dst),
+t{r} AS MATERIALIZED (SELECT l.v, least(l.lab, coalesce(m.mlab, l.lab)) AS lab
+         FROM {p} l LEFT JOIN m{r} m ON m.v = l.v),
+c{r} AS MATERIALIZED (SELECT a.v, b.lab FROM t{r} a JOIN t{r} b ON b.v = a.lab)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+SELECT lab AS component, count(*) AS size
+FROM c{rounds} GROUP BY lab
+ORDER BY size DESC, component LIMIT 20
+"""
+    )
+
+
+def _lpa_sql(iters: int = 4) -> str:
+    """Synchronous LPA, `iters` supersteps, Spark-identical tie-break
+    (count DESC, label ASC) — unrolled window-function rounds."""
+    parts = [_graph_ids_ctes(_BIPARTITE_SQL)]
+    parts.append(",\nl0 AS MATERIALIZED (SELECT vid AS v, vid AS lab FROM nk)")
+    for r in range(1, iters + 1):
+        p = f"l{r - 1}"
+        parts.append(
+            f""",
+f{r} AS MATERIALIZED (SELECT e.dst AS v, l.lab, count(*) AS cnt
+         FROM sym e JOIN {p} l ON l.v = e.src GROUP BY e.dst, l.lab),
+b{r} AS MATERIALIZED (SELECT v, lab FROM (
+           SELECT v, lab, row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lab) AS rn
+           FROM f{r}) WHERE rn = 1),
+l{r} AS MATERIALIZED (SELECT o.v, coalesce(b.lab, o.lab) AS lab
+         FROM {p} o LEFT JOIN b{r} b ON b.v = o.v)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+SELECT lab AS label, count(*) AS size
+FROM l{iters} GROUP BY lab ORDER BY size DESC, label
+"""
+    )
+
+
+def _pagerank_csr_sql(iters: int = 3) -> str:
+    """Weighted PageRank, `iters` unrolled supersteps over the transcripts
+    graph — the CSR result is partition-independent, so the plain relational
+    recurrence is a full oracle for the CSR gather-scatter execution. Rank
+    selection happens AFTER rounding to e9 so the top-50 cut is identical in
+    both engines."""
+    parts = [_graph_ids_ctes(_transcript_edges_sql())]
+    parts.append(
+        """,
+nn AS (SELECT count(*) AS n FROM nk),
+degw AS (SELECT src, sum(weight) AS dw FROM sym GROUP BY src),
+trans AS MATERIALIZED (SELECT s.src, s.dst, s.weight / d.dw AS p FROM sym s JOIN degw d ON s.src = d.src),
+r0 AS MATERIALIZED (SELECT vid AS vertex, 1.0 / (SELECT n FROM nn) AS score FROM nk)"""
+    )
+    for r in range(1, iters + 1):
+        parts.append(
+            f""",
+r{r} AS MATERIALIZED (SELECT t.dst AS vertex, 0.15 / (SELECT n FROM nn) + 0.85 * sum(t.p * r.score) AS score
+         FROM trans t JOIN r{r - 1} r ON t.src = r.vertex GROUP BY t.dst)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+SELECT vertex, score_e9 FROM (
+  SELECT vertex, CAST(round(score * 1e9) AS BIGINT) AS score_e9 FROM r{iters}
+) ORDER BY score_e9 DESC, vertex LIMIT 50
+"""
+    )
+
+
 # --------------------------------------------------------------------------
 # queries — link graph
 # --------------------------------------------------------------------------
@@ -180,7 +289,7 @@ sym AS (
 nodes AS (SELECT DISTINCT src AS vertex FROM sym),
 nn AS (SELECT count(*) AS n FROM nodes),
 degw AS (SELECT src, sum(weight) AS dw FROM sym GROUP BY src),
-trans AS (SELECT s.src, s.dst, s.weight / d.dw AS p FROM sym s JOIN degw d ON s.src = d.src),
+trans AS MATERIALIZED (SELECT s.src, s.dst, s.weight / d.dw AS p FROM sym s JOIN degw d ON s.src = d.src),
 r0 AS (SELECT vertex, 1.0 / (SELECT n FROM nn) AS score FROM nodes),
 r1 AS (SELECT t.dst AS vertex, 0.15 / (SELECT n FROM nn) + 0.85 * sum(t.p * r.score) AS score
        FROM trans t JOIN r0 r ON t.src = r.vertex GROUP BY t.dst),
@@ -214,8 +323,10 @@ FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.
 
 
 def _q_cc_transcripts(spark, sf_dir):
-    """Connected components at convergence (rows-only: iterative fixpoint,
-    not SQL-expressible; exactness covered by networkx tests)."""
+    """Connected components at convergence. Oracled: the small/large-star
+    fixpoint labels every vertex with the min vertex id of its component,
+    which the DuckDB oracle reproduces via unrolled min-label propagation
+    with pointer-jumping compression (_cc_sql)."""
     from cuttana_spark.analytics.components import connected_components
     from cuttana_spark.operators import edges as E
 
@@ -227,7 +338,8 @@ def _q_cc_transcripts(spark, sf_dir):
 
 
 def _q_lpa_events(spark, sf_dir):
-    """Synchronous LPA, 4 supersteps (rows-only)."""
+    """Synchronous LPA, 4 supersteps. Oracled: deterministic tie-break
+    (count DESC, label ASC) unrolled in SQL (_lpa_sql)."""
     from cuttana_spark.analytics.labelprop import label_propagation
     from cuttana_spark.operators import edges as E
 
@@ -261,8 +373,10 @@ def _q_partition_transcripts(spark, sf_dir):
 
 
 def _q_pagerank_csr_transcripts(spark, sf_dir):
-    """CSR-block PageRank over Cuttana partitions (rows-only; equality with
-    the DataFrame variant is asserted in tests)."""
+    """CSR-block PageRank over Cuttana partitions. Oracled: the converged
+    scores are partition-independent, so 3 unrolled relational PR supersteps
+    (_pagerank_csr_sql) check the CSR gather-scatter end-to-end. Top-50 is
+    selected AFTER rounding to e9 so the cut is engine-identical."""
     from cuttana_spark.analytics.pagerank import pagerank_csr
     from cuttana_spark.operators import edges as E
     from cuttana_spark.partition.batched import cuttana_partition_df_batched
@@ -273,8 +387,10 @@ def _q_pagerank_csr_transcripts(spark, sf_dir):
     vp = res.to_spark_df(spark).select("vertex", "partition_id")
     sym = E.symmetrize(eids)
     pr = pagerank_csr(spark, sym, vp, max_iter=3, tol=0.0)
-    return pr.orderBy(F.desc("score"), "vertex").limit(50).select(
-        "vertex", F.round(F.col("score") * 1e9).cast("long").alias("score_e9")
+    return (
+        pr.select("vertex", F.round(F.col("score") * 1e9).cast("long").alias("score_e9"))
+        .orderBy(F.desc("score_e9"), "vertex")
+        .limit(50)
     )
 
 
@@ -1117,6 +1233,9 @@ def oracle_sql() -> dict[str, str]:
         "degree_topk": _ORACLE_DEGREE_TOPK,
         "pagerank5_events": _PAGERANK5_SQL,
         "triangles_transcripts": _TRIANGLES_SQL,
+        "cc_transcripts": _cc_sql(),
+        "lpa_events": _lpa_sql(),
+        "pagerank_csr_transcripts": _pagerank_csr_sql(),
         "pricing_summary": _PRICING_SQL,
         "top_revenue_orders": _TOP_REVENUE_SQL,
         "region_revenue": _REGION_REVENUE_SQL,
