@@ -77,20 +77,25 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("p") * F.col("score")).alias("contrib"))
         )
-        dangling_mass = 0.0
+        joined = nodes.join(contribs, nodes.vertex == contribs.dst, "left")
         if has_dangling:
-            row = dangling_nodes.join(ranks, "vertex").agg(F.sum("score")).first()
-            dangling_mass = row[0] or 0.0
-        new_ranks = (
-            nodes.join(contribs, nodes.vertex == contribs.dst, "left")
-            .select(
-                "vertex",
-                (
-                    F.lit((1.0 - alpha) / n)
-                    + F.lit(alpha)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(alpha_dangling(dangling_mass, n)))
-                ).alias("score"),
+            # fold the dangling-mass scalar INTO the plan via a broadcast
+            # crossJoin of the 1-row aggregate — no per-superstep driver
+            # action, so fixed-iteration runs stay a single lazy DAG even on
+            # graphs with dangling vertices
+            dm = dangling_nodes.join(ranks, "vertex").agg(
+                F.coalesce(F.sum("score"), F.lit(0.0)).alias("dangling_mass")
             )
+            joined = joined.crossJoin(F.broadcast(dm))
+            extra = F.col("dangling_mass") / F.lit(float(n))
+        else:
+            extra = F.lit(0.0)
+        new_ranks = joined.select(
+            "vertex",
+            (
+                F.lit((1.0 - alpha) / n)
+                + F.lit(alpha) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + extra)
+            ).alias("score"),
         )
         # materialize (truncate lineage/plan growth) only periodically —
         # intermediate supersteps live as shuffle outputs that Spark reuses,
@@ -113,10 +118,6 @@ def pagerank(
         if err < n * tol:
             break
     return ranks
-
-
-def alpha_dangling(mass: float, n: int) -> float:
-    return mass / n
 
 
 def pagerank_csr(
@@ -190,21 +191,23 @@ def pagerank_csr(
 
     for it in range(start_iter, max_iter):
         contribs = scatter_gather(spark, blocks, ranks)
-        dangling_mass = 0.0
+        joined = nodes_pid.join(contribs, nodes_pid.vertex == contribs.dst, "left")
         if has_dangling:
-            row = dangling_nodes.join(ranks, "vertex").agg(F.sum("score")).first()
-            dangling_mass = row[0] or 0.0
-        new_ranks = (
-            nodes_pid.join(contribs, nodes_pid.vertex == contribs.dst, "left")
-            .select(
-                "vertex",
-                "partition_id",
-                (
-                    F.lit((1.0 - alpha) / n)
-                    + F.lit(alpha)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling_mass / n))
-                ).alias("score"),
+            # in-plan dangling mass (broadcast 1-row aggregate) — see pagerank()
+            dm = dangling_nodes.join(ranks, "vertex").agg(
+                F.coalesce(F.sum("score"), F.lit(0.0)).alias("dangling_mass")
             )
+            joined = joined.crossJoin(F.broadcast(dm))
+            extra = F.col("dangling_mass") / F.lit(float(n))
+        else:
+            extra = F.lit(0.0)
+        new_ranks = joined.select(
+            "vertex",
+            "partition_id",
+            (
+                F.lit((1.0 - alpha) / n)
+                + F.lit(alpha) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + extra)
+            ).alias("score"),
         )
         # materialize (truncate lineage/plan growth) only periodically —
         # intermediate supersteps live as shuffle outputs that Spark reuses,

@@ -124,28 +124,40 @@ def ngram_jaccard_for_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str = "text", shingle_n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 10_000,
 ) -> DataFrame:
-    """All near-dup pairs by exact n-gram Jaccard via inverted shingle index
-    (no LSH approximation; quadratic only within shingle buckets)."""
+    """All near-dup pairs by exact n-gram Jaccard via inverted shingle index.
+
+    The self-join is quadratic WITHIN a shingle bucket, so one stop-word
+    shingle shared by 10^6 docs would explode the join at corpus scale.
+    Candidate generation therefore drops shingles whose document frequency
+    exceeds `max_shingle_df` (the standard df-cap trick); the Jaccard itself
+    is still computed EXACTLY over the full shingle sets of each candidate
+    pair. Semantics: a pair is missed only if it shares *no* shingle with
+    df <= cap — near-dups always share many rare shingles, and any fixture
+    with max df below the cap is bit-identical to the uncapped result.
+    """
     sh = shingles(df, text_col, n=shingle_n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), "shingle")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    hot = F.broadcast(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .filter(F.col("df_count") > max_shingle_df)
+        .select("shingle")
     )
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    idx = sh.join(hot, "shingle", "left_anti")
+    cand = (
+        idx.alias("x")
+        .join(idx.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return ngram_jaccard_for_pairs(df, cand, text_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
     )
 
 

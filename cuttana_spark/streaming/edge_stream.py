@@ -8,15 +8,20 @@ production), and the per-user transition edges are emitted *incrementally*
 with a custom stateful operator — applyInPandasWithState keyed by user_id,
 whose state is just the last (ts, event_id, event_type) seen per user.
 
-Late data: the state comparison is by (ts, event_id) order, and a watermark
-on ts bounds state (events later than the watermark horizon are dropped by
-Spark before reaching the operator).
+Late data: incoming rows are merged around the stored last event in
+(ts, event_id) order — late rows (within the watermark) chain among
+themselves and into the stored event, and state only advances forward. A
+late segment's splice into history cannot retract the already-emitted edge
+(bounded single-event state); exact for in-order-per-user data. A watermark
+on ts bounds state (events later than the horizon are dropped by Spark
+before reaching the operator).
 """
 
 from __future__ import annotations
 
-from typing import Any, Iterator
+from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,24 +34,48 @@ STATE_SCHEMA = "last_ts double, last_event_id long, last_type string"
 def _transitions(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    """Vectorized stateful transition emitter (no per-row Python).
+
+    The batch's rows are merged IN (ts, event_id) ORDER around the stored
+    last event: rows later than the stored event chain off it as usual; rows
+    arriving late (within the watermark but ordered BEFORE the stored event)
+    chain among themselves and into the stored event. The state advances
+    only to the max(stored, batch) event, never backwards. With one-event
+    state this is exact for in-order data; for a late segment it emits the
+    segment's edges and its link to the stored event but cannot retract the
+    previously-emitted edge that the segment splices into (documented
+    bounded-state approximation).
+    """
     rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    ts = rows["ts"].map(lambda t: t.timestamp()).to_numpy()
+    eid = rows["event_id"].to_numpy()
+    types = rows["event_type"].to_numpy(dtype=object)
+
     if state.exists:
-        last_ts, last_eid, last_type = state.get
-        prev = last_type
+        s_ts, s_eid, s_type = state.get
+        after = (ts > s_ts) | ((ts == s_ts) & (eid > s_eid))
+        # merged order: [late rows..., stored event, fresh rows...]
+        seq = list(types[~after]) + [s_type] + list(types[after])
+        # the first late row's true predecessor is unknown (its edge was
+        # already emitted against the stored event in an earlier batch) —
+        # consecutive pairs over the merged sequence start at seq[0]->seq[1]
+        arr = np.asarray(seq, dtype=object)
+        prev, cur = arr[:-1], arr[1:]
+        # advance state only forward
+        if after.any():
+            j = int(np.flatnonzero(after)[-1])
+            state.update((float(ts[j]), int(eid[j]), str(types[j])))
     else:
-        prev = None
-    out: dict[str, list[Any]] = {"src_key": [], "dst_key": [], "weight": []}
-    for _, r in rows.iterrows():
-        cur = r["event_type"]
-        if prev is not None:
-            a, b = sorted((prev, cur))
-            out["src_key"].append(a)
-            out["dst_key"].append(b)
-            out["weight"].append(1)
-        prev = cur
-    last = rows.iloc[-1]
-    state.update((float(last["ts"].timestamp()), int(last["event_id"]), str(last["event_type"])))
-    yield pd.DataFrame(out)
+        arr = types
+        prev, cur = arr[:-1], arr[1:]
+        state.update((float(ts[-1]), int(eid[-1]), str(types[-1])))
+
+    le = prev.astype(str) <= cur.astype(str)
+    lo = np.where(le, prev, cur)
+    hi = np.where(le, cur, prev)
+    yield pd.DataFrame(
+        {"src_key": lo, "dst_key": hi, "weight": np.ones(len(lo), dtype="int64")}
+    )
 
 
 def streaming_event_edges(

@@ -172,3 +172,27 @@ def test_pagerank_resume_bit_identical(spark, G, edges_df, tmp_path):
     # lineage recorded per superstep
     lin = wh.read(spark, "pr_lineage")
     assert lin.select("superstep").distinct().count() >= 1
+
+
+def test_pagerank_dangling_vertices_in_plan(spark):
+    """Directed graph with sink vertices: the dangling mass must be
+    redistributed uniformly each superstep — now folded into the DAG as a
+    broadcast 1-row aggregate (no per-superstep driver action). Oracle:
+    direct numpy power iteration on the directed transition matrix."""
+    # 0->1, 0->2, 1->2, 3->0 ; vertices 2 is a sink (no out-edges)
+    edges = [(0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0), (3, 0, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    got = {r.vertex: r.score for r in pagerank(spark, df, max_iter=12, tol=0.0).collect()}
+
+    n, alpha = 4, 0.85
+    x = np.full(n, 1.0 / n)
+    out = {0: [(1, 0.5), (2, 0.5)], 1: [(2, 1.0)], 3: [(0, 1.0)]}
+    for _ in range(12):
+        contrib = np.zeros(n)
+        for u, lst in out.items():
+            for v, p in lst:
+                contrib[v] += x[u] * p
+        dangling = x[2]  # vertex 2 is the only sink
+        x = (1 - alpha) / n + alpha * (contrib + dangling / n)
+    for v in range(n):
+        assert got[v] == pytest.approx(x[v], abs=1e-12)

@@ -172,3 +172,31 @@ def test_embedding_near_dups_bucketed_equals_brute_force_on_tight_dups(spark):
     plan = bucketed._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_df_cap_bounds_hot_shingles(spark):
+    """A shingle shared by every doc (df > cap) must not generate candidate
+    pairs by itself; pairs sharing rare shingles keep their EXACT jaccard
+    (verification runs over the full shingle sets, including hot ones)."""
+    hot = "the quick fox"  # one shared trigram in every doc
+    rows = [
+        (1, hot + " alpha beta gamma delta"),
+        (2, hot + " alpha beta gamma epsilon"),
+        (3, hot + " zeta eta theta iota"),  # shares ONLY the hot shingle with 1/2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(df, threshold=0.0, max_shingle_df=10_000).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(df, threshold=0.0, max_shingle_df=2).collect()
+    }
+    # (1,2) share rare shingles -> present in both with identical exact jaccard
+    assert (1, 2) in capped
+    assert capped[(1, 2)] == pytest.approx(uncapped[(1, 2)])
+    # (1,3)/(2,3) share only the hot shingle -> pruned under the cap
+    assert (1, 3) in uncapped and (2, 3) in uncapped
+    assert (1, 3) not in capped and (2, 3) not in capped

@@ -129,3 +129,35 @@ def test_batched_partitioner_same_result_sliced_vs_whole(spark):
     assert (r1.partitions == r2.partitions).all()
     assert (r1.sub_partitions == r2.sub_partitions).all()
     assert r1.edge_cut_ratio == r2.edge_cut_ratio
+
+
+def test_streaming_out_of_order_cross_batch(spark, tmp_path):
+    """A late event (within the watermark) arriving in a later micro-batch
+    must be merged BEFORE the stored event, and the state must not regress:
+    history a(100) b(200), then late c(150), then d(250) must emit
+    (a,b), (b,c) [late chained into stored], then (b,d) — with the buggy
+    last-wins state, d would have chained off c instead."""
+    import datetime as dt
+
+    from cuttana_spark.streaming.edge_stream import materialize_stream
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    # one source dir, one appended file per micro-batch round
+    src.mkdir()
+    b1 = [(1, t(10), 7, "a", 0.0, ""), (2, t(20), 7, "b", 0.0, "")]
+    b2 = [(3, t(15), 7, "c", 0.0, "")]  # late: between a and b
+    b3 = [(4, t(25), 7, "d", 0.0, "")]
+    d = str(src)
+    for i, rows in enumerate([b1, b2, b3]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(d)
+        materialize_stream(spark, d, ckpt, out)
+
+    got = sorted(
+        (r.src_key, r.dst_key) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [("a", "b"), ("b", "c"), ("b", "d")]
