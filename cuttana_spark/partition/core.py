@@ -98,12 +98,16 @@ class PartitionResult:
                 }
             )
         )
-        # repartition away from the driver-local relation: otherwise every
-        # downstream job re-serializes the whole vertex map from the driver
-        # into each plan (measured 5× slowdown on superstep loops)
+        # CUT THE LINEAGE: a driver-local relation of V rows embedded in the
+        # logical plan makes every downstream query DAG re-plan/re-serialize
+        # the whole vertex map on the driver (measured: a flat 8-10 s
+        # driver-side gap per pagerank_csr run at 1 M vertices — the round-1
+        # "Cuttana 2x slower than pmod" regression was exactly this, not the
+        # partitioning). localCheckpoint materializes once; downstream plans
+        # reference a compact LogicalRDD.
         return df.repartition(
             num_partitions or spark.sparkContext.defaultParallelism, "vertex"
-        )
+        ).localCheckpoint(eager=True)
 
 
 class CuttanaPartitioner:
