@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 BENCH_TRANSCRIPTS = os.path.join(FIXTURE, "bench_transcripts_50k.parquet")
+BENCH_EMBEDDINGS = os.path.join(FIXTURE, "bench_embeddings_100k.parquet")
 N_CONV_BENCH = 50_000
 PR_ITERS = 5
 
@@ -33,6 +34,15 @@ def ensure_bench_transcripts() -> str:
         os.makedirs(FIXTURE, exist_ok=True)
         T.write_parquet(BENCH_TRANSCRIPTS, n_conv=N_CONV_BENCH)
     return BENCH_TRANSCRIPTS
+
+
+def ensure_bench_embeddings() -> str:
+    if not os.path.exists(BENCH_EMBEDDINGS):
+        from cuttana_spark import embeddings as EMB
+
+        os.makedirs(FIXTURE, exist_ok=True)
+        EMB.write_parquet(BENCH_EMBEDDINGS, n=100_000, dim=64, n_clusters=1024, noise=0.04)
+    return BENCH_EMBEDDINGS
 
 
 def main() -> None:
@@ -53,7 +63,6 @@ def main() -> None:
     from cuttana_spark.analytics.triangles import triangle_count
     from cuttana_spark.operators import edges as E
     from cuttana_spark.operators.dedup import minhash_pairs
-    from cuttana_spark.operators.similarity import brute_force_topk
     from cuttana_spark.partition.batched import cuttana_partition_df_batched
 
     import __spark_entry__ as se
@@ -161,9 +170,40 @@ def main() -> None:
     with timed("minhash_dedup"):
         minhash_pairs(docs, num_hashes=16, bands=4, threshold=0.5).collect()
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    # ---- ANN suite on the clustered bench fixture (100k x 64d) ----
+    # The sf embeddings are near-uniform random vectors, where no ANN index
+    # can beat a scan at high recall; real corpora are clustered, which is
+    # what the fixture models (cuttana_spark/embeddings.py). Headline:
+    # IVF + GEMM re-rank; referee: exact GEMM brute force; recall reported.
+    from cuttana_spark.operators.ivf import ivf_topk_gemm
+    from cuttana_spark.operators.similarity import brute_force_topk_gemm
+
+    emb_bench = spark.read.parquet(ensure_bench_embeddings()).repartition(cpus).cache()
+    emb_bench.count()
+    qset = emb_bench.filter("vec_id % 97 = 0").cache()
+    n_q = qset.count()
+    extra["ann_corpus"] = emb_bench.count()
+    extra["ann_queries"] = n_q
+
+    with timed("ann_brute_force"):
+        bf = brute_force_topk_gemm(qset, emb_bench, k=10).cache()
+        bf.count()
     with timed("ann_topk"):
-        brute_force_topk(emb.filter("vec_id % 25 = 0"), emb, k=10).collect()
+        iv = ivf_topk_gemm(qset, emb_bench, n_cells=128, nprobe=8, k=10).cache()
+        iv.count()
+    truth: dict[int, set] = {}
+    for r in bf.collect():
+        truth.setdefault(r.query_id, set()).add(r.match_id)
+    got: dict[int, set] = {}
+    for r in iv.collect():
+        got.setdefault(r.query_id, set()).add(r.match_id)
+    tot = sum(len(v) for v in truth.values())
+    extra["ann_recall_at_10"] = round(
+        sum(len(truth[qq] & got.get(qq, set())) for qq in truth) / tot, 4
+    )
+    extra["ann_speedup_vs_brute"] = round(
+        queries["ann_brute_force"] / queries["ann_topk"], 2
+    )
 
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

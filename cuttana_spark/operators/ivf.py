@@ -83,6 +83,62 @@ def probe_cells(df: DataFrame, centroids: np.ndarray, nprobe: int) -> DataFrame:
     )
 
 
+def ivf_topk_gemm(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_cells: int = 64,
+    nprobe: int = 8,
+    k: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN with numpy cell assignment + GEMM re-rank (throughput
+    variant of ivf_topk: same cells/probes, but both the quantizer
+    assignment and the within-cell scoring are vectorized numpy over Arrow
+    batches instead of per-cell JVM expression trees)."""
+    import pandas as pd
+
+    from cuttana_spark.operators.similarity import _grouped_topk_gemm
+
+    C = train_centroids(corpus, n_cells=n_cells, seed=seed)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            cells = np.argmax(Xn @ C.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"match_id": pdf["vec_id"], "ce": pdf["embedding"], "cell": cells}
+            )
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            sims = Xn @ C.T
+            npb = min(nprobe, sims.shape[1])
+            top = np.argpartition(-sims, kth=npb - 1, axis=1)[:, :npb].astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["vec_id"].to_numpy().repeat(npb),
+                    "qe": pdf["embedding"].to_numpy().repeat(npb),
+                    "cell": top.reshape(-1),
+                }
+            )
+
+    emb_t = dict(corpus.dtypes)["embedding"]
+    cb = corpus.select("vec_id", "embedding").mapInPandas(
+        assign, f"match_id long, ce {emb_t}, cell int"
+    )
+    qb = queries.select("vec_id", "embedding").mapInPandas(
+        probe, f"query_id long, qe {emb_t}, cell int"
+    )
+    return _grouped_topk_gemm(qb, cb, k, "cell")
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -67,6 +67,56 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int = 10) -> DataFrame:
+    """Exact cosine top-k via per-partition numpy GEMM — the fast exact
+    baseline / recall referee.
+
+    The (small) query matrix is collected once and shipped in the UDF
+    closure (broadcast); each corpus partition computes a dense
+    queries x partition similarity matrix with one matmul and emits only its
+    LOCAL top-k per query (k rows per query per partition), so the final
+    exact re-rank sees nq*k*num_partitions rows instead of nq*|corpus|.
+    ~100x faster than the zip_with/aggregate pair loop (which remains the
+    pure-JVM, oracle-checkable reference implementation)."""
+    import pandas as pd
+
+    qrows = queries.select("vec_id", "embedding").collect()
+    qids = np.array([r.vec_id for r in qrows], np.int64)
+    Q = np.array([list(r.embedding) for r in qrows], np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            C = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+            sims = Qn @ Cn.T  # (nq, nc)
+            # exclude self-matches
+            self_mask = qids[:, None] == ids[None, :]
+            sims[self_mask] = -np.inf
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+            rows_q = np.repeat(qids, kk)
+            rows_m = ids[top.reshape(-1)]
+            rows_c = np.take_along_axis(sims, top, axis=1).reshape(-1)
+            keep = np.isfinite(rows_c)
+            yield pd.DataFrame(
+                {"query_id": rows_q[keep], "match_id": rows_m[keep], "cosine": rows_c[keep]}
+            )
+
+    partials = corpus.select("vec_id", "embedding").mapInPandas(
+        part, "query_id long, match_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
@@ -102,12 +152,10 @@ def lsh_topk(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
     )
     if multiprobe >= 1:
-        probes = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
-        )
         qb = qb.select(
-            "query_id", "qe", F.explode(probes).alias("bucket")
+            "query_id",
+            "qe",
+            F.explode(probe_buckets(F.col("bucket"), n_planes, multiprobe)).alias("bucket"),
         )
     cb = lsh_bucket(corpus, dim, n_planes, seed).select(
         F.col("vec_id").alias("match_id"), F.col("embedding").alias("ce"), "bucket"
@@ -131,6 +179,87 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "cosine", "rank")
     )
+
+
+def _grouped_topk_gemm(qb: DataFrame, cb: DataFrame, k: int, group_col: str) -> DataFrame:
+    """Shared ANN re-rank: cogroup candidates by bucket/cell and score each
+    group with one numpy GEMM (Arrow applyInPandas), emitting per-group local
+    top-k; the final exact top-k is a window over nq*k*groups rows. This is
+    the scale shape: pruning happens in the bucketed JOIN KEY, scoring in
+    vectorized numpy — no per-candidate JVM expression trees, no per-row
+    Python."""
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "match_id": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+
+    def step(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame):
+        if qpdf.empty or cpdf.empty:
+            return empty
+        qids = qpdf["query_id"].to_numpy(np.int64)
+        mids = cpdf["match_id"].to_numpy(np.int64)
+        Q = np.stack(qpdf["qe"].to_numpy()).astype(np.float64)
+        C = np.stack(cpdf["ce"].to_numpy()).astype(np.float64)
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        sims = Qn @ Cn.T
+        sims[qids[:, None] == mids[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+        rows_c = np.take_along_axis(sims, top, axis=1).reshape(-1)
+        keep = np.isfinite(rows_c)
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, kk)[keep],
+                "match_id": mids[top.reshape(-1)][keep],
+                "cosine": rows_c[keep],
+            }
+        )
+
+    partials = (
+        qb.groupby(group_col)
+        .cogroup(cb.groupby(group_col))
+        .applyInPandas(step, "query_id long, match_id long, cosine double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (
+        partials.dropDuplicates(["query_id", "match_id"])  # multiprobe re-finds
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )
+
+
+def lsh_topk_gemm(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: int = 2,
+) -> DataFrame:
+    """LSH ANN with GEMM re-rank: hyperplane sign buckets prune the
+    candidate set (join key), numpy scores each bucket's candidates in one
+    matmul. Same bucketing semantics as lsh_topk (which keeps the
+    oracle-replicable JVM scoring); this is the throughput variant."""
+    qb = lsh_bucket(queries, dim, n_planes, seed).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    qb = qb.select(
+        "query_id",
+        "qe",
+        F.explode(probe_buckets(F.col("bucket"), n_planes, multiprobe)).alias("bucket"),
+    )
+    cb = lsh_bucket(corpus, dim, n_planes, seed).select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("ce"), "bucket"
+    )
+    return _grouped_topk_gemm(qb, cb, k, "bucket")
 
 
 def probe_buckets(bucket, n_planes: int, multiprobe: int):

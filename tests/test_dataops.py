@@ -200,3 +200,28 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingles(spark):
     # (1,3)/(2,3) share only the hot shingle -> pruned under the cap
     assert (1, 3) in uncapped and (2, 3) in uncapped
     assert (1, 3) not in capped and (2, 3) not in capped
+
+
+def test_gemm_variants_equal_jvm_variants(spark, emb):
+    """brute_force/lsh/ivf GEMM re-rank variants must return exactly the
+    same (query, rank, match, cosine~1e-9) as the JVM-expression variants."""
+    from cuttana_spark.operators.ivf import ivf_topk, ivf_topk_gemm
+    from cuttana_spark.operators.similarity import brute_force_topk_gemm
+
+    sub = emb.limit(120).cache()
+
+    def norm(df):
+        return sorted(
+            (r.query_id, r.rank, r.match_id, round(r.cosine, 9)) for r in df.collect()
+        )
+
+    assert norm(S.brute_force_topk(sub, sub, k=3)) == norm(
+        brute_force_topk_gemm(sub, sub, k=3)
+    )
+    dim = len(sub.first().embedding)
+    assert norm(S.lsh_topk(sub, sub, dim=dim, k=3, n_planes=3, multiprobe=1)) == norm(
+        S.lsh_topk_gemm(sub, sub, dim=dim, k=3, n_planes=3, multiprobe=1)
+    )
+    assert norm(ivf_topk(sub, sub, n_cells=4, nprobe=2, k=3)) == norm(
+        ivf_topk_gemm(sub, sub, n_cells=4, nprobe=2, k=3)
+    )
