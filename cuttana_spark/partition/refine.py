@@ -201,10 +201,113 @@ class Refiner:
         return moves
 
 
+    # ------------------------------------------------------------------
+
+    def _edge_w_to(self, a: int, rows: np.ndarray) -> np.ndarray:
+        """Edge weight between active sub a and each active row in `rows`."""
+        lo, hi = self._adj_ptr[a], self._adj_ptr[a + 1]
+        out = np.zeros(rows.shape[0], np.int64)
+        if hi > lo:
+            hs = self._adj_dst[lo:hi]
+            ws = self._adj_w[lo:hi]
+            pos = {int(h): int(w) for h, w in zip(hs, ws)}
+            for i, b in enumerate(rows.tolist()):
+                out[i] = pos.get(int(b), 0)
+        return out
+
+    def refine_evictions(self, max_rounds: int = 64) -> int:
+        """2-move eviction plans (reference Case 2,
+        /root/reference/src/refine.rs:131-147, scoring from the paper): when
+        the best single move a: f→t is blocked ONLY by refine_capacity,
+        consider evicting some sub b: t→e to make room. Exact combined cut
+        delta (derived; accounts for the a–b edge both ways):
+
+            delta = (W[a,f] − W[a,t] + w_ab) + (W[b,t] − W[b,e] + w_ab·[e==f])
+
+        The a-term adds w_ab back because W[a,t] counts b while b is leaving;
+        the b-term adds it when e == f because W[b,f] counts a while a is
+        leaving f (the reference's `from == evict` flag at refine.rs:139-141).
+        Greedy best-first over capacity-blocked candidates; both moves are
+        applied only when the final state satisfies refine_capacity and
+        max_sub. Returns number of applied MOVES (2 per plan)."""
+        thr = self.gain_threshold
+        nact = self.g_act.shape[0]
+        total_moves = 0
+        for _ in range(max_rounds):
+            own = self.W[np.arange(nact), self.p_act].astype(np.float64)
+            raw = own[:, None] - self.W
+            raw[np.arange(nact), self.p_act] = np.inf
+            raw[self.sub_size == 0, :] = np.inf
+            raw[:, self.num_sub >= self.max_sub] = np.inf
+            # keep only capacity-BLOCKED improving targets (feasible ones are
+            # single moves, already taken by refine())
+            fits = (
+                self.sizes[None, :] + self.sub_size[:, None] <= self.refine_capacity
+            )
+            raw[fits] = np.inf
+            cand = np.argwhere(raw < thr)
+            if cand.shape[0] == 0:
+                return total_moves
+            order = np.argsort(raw[cand[:, 0], cand[:, 1]])
+            best = None  # (delta, a, t, b, e)
+            for idx in order[:64].tolist():
+                a, t = int(cand[idx, 0]), int(cand[idx, 1])
+                f = int(self.p_act[a])
+                gain_a = float(self.W[a, f] - self.W[a, t])
+                rows_b = np.flatnonzero(
+                    (self.p_act == t) & (self.sub_size > 0) & (np.arange(nact) != a)
+                )
+                if rows_b.shape[0] == 0:
+                    continue
+                # b must free enough room in t for a
+                need = self.sub_size[a] + self.sizes[t] - self.refine_capacity
+                rows_b = rows_b[self.sub_size[rows_b] >= need]
+                if rows_b.shape[0] == 0:
+                    continue
+                w_ab = self._edge_w_to(a, rows_b).astype(np.float64)
+                # eviction targets: e != t, room for b, sub slot open
+                e_open = (self.num_sub < self.max_sub).copy()
+                e_open[t] = False
+                gb = self.W[rows_b, t][:, None].astype(np.float64) - self.W[rows_b]
+                gb[:, ~e_open] = np.inf
+                e_fits = (
+                    self.sizes[None, :] + self.sub_size[rows_b][:, None]
+                    <= self.refine_capacity
+                )
+                # e == f gets a's size back simultaneously — allow that slack
+                e_fits[:, f] = (
+                    self.sizes[f] - self.sub_size[a] + self.sub_size[rows_b]
+                    <= self.refine_capacity
+                )
+                gb[~e_fits] = np.inf
+                # pair correction: +w_ab always on the a-term; +w_ab on the
+                # b-term only when e == f
+                delta = gain_a + w_ab[:, None] + gb
+                delta[:, f] += w_ab
+                bi, e = np.unravel_index(np.argmin(delta), delta.shape)
+                d = float(delta[bi, e])
+                if np.isfinite(d) and d < thr and (best is None or d < best[0]):
+                    best = (d, a, t, int(rows_b[bi]), int(e))
+            if best is None:
+                return total_moves
+            _, a, t, b, e = best
+            self._apply(b, e)  # evict first so capacity bookkeeping stays sane
+            self._apply(a, t)
+            total_moves += 2
+        return total_moves
+
+
 def run_refinement(inp: RefineInput) -> Refiner:
-    """fix_balance → refine → fix_balance (/root/reference/src/cuttana.rs:54-56)."""
+    """fix_balance → (refine ⇄ eviction plans) → fix_balance
+    (/root/reference/src/cuttana.rs:54-56; Case-2 eviction plans from
+    refine.rs:131-147). Eviction plans can unlock further single moves, so
+    the two alternate until neither improves."""
     r = Refiner(inp)
     r.fix_balance()
-    r.refine()
+    for _ in range(4):
+        m1 = r.refine()
+        m2 = r.refine_evictions()
+        if m2 == 0:
+            break
     r.fix_balance()
     return r
