@@ -1141,6 +1141,99 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 6
 """
 
 
+def _q_gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition/shape filters (dup-word ratio, top-bigram
+    ratio, mean word length, symbol ratio) — the standard pre-training
+    quality gates, all scaled to e6 ints for the value hash."""
+    from cuttana_spark.operators.text import with_repetition
+
+    docs = _read(spark, sf_dir, "documents")
+    rep = with_repetition(docs)
+    e6 = lambda c: F.round(F.col(c) * 1e6).cast("long")
+    return rep.select(
+        "doc_id",
+        e6("dup_word_ratio").alias("dup_word_e6"),
+        e6("top_bigram_ratio").alias("top_bigram_e6"),
+        e6("mean_word_len").alias("mean_word_len_e6"),
+        e6("symbol_ratio").alias("symbol_ratio_e6"),
+        F.col("passes_gopher").cast("int").alias("passes"),
+    )
+
+
+_GOPHER_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(str_split({_NORM.format(col='text')}, ' '), x -> x <> '') AS words,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_symbols
+  FROM documents
+),
+base AS (
+  SELECT doc_id, words, n_symbols,
+         len(words) AS n_words,
+         greatest(len(words), 1) AS safe_words,
+         len(list_distinct(words)) AS n_distinct,
+         list_sum(list_transform(words, x -> length(x))) AS total_chars
+  FROM w
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                i -> concat_ws(' ', list_extract(words, i), list_extract(words, i + 1)))) AS g
+  FROM w
+),
+top AS (
+  SELECT doc_id, max(c) AS top_big, CAST(sum(c) AS BIGINT) AS n_big
+  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+m AS (
+  SELECT b.doc_id,
+         1.0 - CAST(n_distinct AS DOUBLE) / safe_words AS dup_word_ratio,
+         coalesce(CAST(top_big AS DOUBLE) / n_big, 0.0) AS top_bigram_ratio,
+         CAST(coalesce(total_chars, 0) AS DOUBLE) / safe_words AS mean_word_len,
+         CAST(n_symbols AS DOUBLE) / safe_words AS symbol_ratio
+  FROM base b LEFT JOIN top ON top.doc_id = b.doc_id
+)
+SELECT doc_id,
+       CAST(round(dup_word_ratio * 1e6) AS BIGINT) AS dup_word_e6,
+       CAST(round(top_bigram_ratio * 1e6) AS BIGINT) AS top_bigram_e6,
+       CAST(round(mean_word_len * 1e6) AS BIGINT) AS mean_word_len_e6,
+       CAST(round(symbol_ratio * 1e6) AS BIGINT) AS symbol_ratio_e6,
+       CAST(CASE WHEN dup_word_ratio <= 0.5 AND top_bigram_ratio <= 0.2
+                  AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                  AND symbol_ratio <= 1.0 THEN 1 ELSE 0 END AS INT) AS passes
+FROM m
+"""
+
+
+def _q_kcore2_transcripts(spark, sf_dir):
+    """2-core of the transcripts graph (iterative peeling to fixpoint).
+    Oracled: peeling converges in 18 rounds on this fixture; the DuckDB
+    oracle unrolls 22 materialized rounds of the identical recurrence."""
+    from cuttana_spark.analytics.kcore import k_core
+    from cuttana_spark.operators import edges as E
+
+    nodes, eids = E.transcript_edges(_transcripts(spark))
+    return k_core(spark, eids, k=2)
+
+
+def _kcore_sql(k: int = 2, rounds: int = 22) -> str:
+    parts = [_graph_ids_ctes(_transcript_edges_sql())]
+    parts.append(",\na0 AS MATERIALIZED (SELECT vid AS v FROM nk)")
+    for r in range(1, rounds + 1):
+        p = f"a{r - 1}"
+        parts.append(
+            f""",
+d{r} AS MATERIALIZED (
+  SELECT e.src AS v, count(*) AS d
+  FROM sym e JOIN {p} x ON x.v = e.src JOIN {p} y ON y.v = e.dst
+  GROUP BY e.src
+),
+a{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE d >= {k})"""
+        )
+    return "WITH " + "".join(parts) + f"\nSELECT v AS vertex FROM a{rounds}\n"
+
+
 def _q_rollup_events(spark, sf_dir):
     """ROLLUP conformance: event counts by (event_type, day) with subtotals."""
     ev = _read(spark, sf_dir, "events")
@@ -1222,6 +1315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _q_degree_histogram,
         "simhash_near_dups": _q_simhash_near_dups,
         "rollup_events": _q_rollup_events,
+        "gopher_repetition": _q_gopher_repetition,
+        "kcore2_transcripts": _q_kcore2_transcripts,
     }
 
 
@@ -1259,6 +1354,8 @@ def oracle_sql() -> dict[str, str]:
         "conditional_pivot": _PIVOT_SQL,
         "simhash_near_dups": _simhash_pairs_sql(),
         "rollup_events": _ROLLUP_SQL,
+        "gopher_repetition": _GOPHER_SQL,
+        "kcore2_transcripts": _kcore_sql(),
         "degree_histogram": _DEGREE_HIST_SQL_TMPL.format(edges=_transcript_edges_sql()),
         # cc_transcripts, lpa_events, partition_transcripts,
         # pagerank_csr_transcripts, lsh_ann, multimodal_features: rows-only

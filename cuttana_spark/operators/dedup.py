@@ -161,16 +161,31 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str = "text", bits: int = 16, hash_fn: str = "md5"
+) -> DataFrame:
     """(doc_id, simhash): sign-aggregated token-hash signature.
 
     bit j of simhash = 1 iff Σ_tokens (token_hash>>j & 1 ? +1 : −1) > 0.
     Expressed as `bits` conditional sums in ONE hash aggregate (JVM-side,
-    no UDF). 16 bits keeps the oracle SQL tractable; production uses 64."""
+    no UDF).
+
+    hash_fn="md5" (portable md5-prefix, 60 usable bits) keeps a DuckDB
+    oracle possible; hash_fn="xxhash64" is the production path (full 64-bit
+    JVM hash, ~10x cheaper than md5). Packing uses shiftleft + bitwiseOR so
+    bit 63 wraps into the sign bit instead of overflowing ANSI arithmetic.
+    """
     words = df.select(
         "doc_id", F.explode(F.split(normalized(F.col(text_col)), " ")).alias("w")
     ).filter(F.col("w") != "")
-    h = portable_hash64(F.col("w"))
+    if hash_fn == "xxhash64":
+        if bits > 64:
+            raise ValueError("xxhash64 simhash supports at most 64 bits")
+        h = F.xxhash64(F.col("w"))
+    else:
+        if bits > 60:
+            raise ValueError("md5-prefix simhash supports at most 60 bits")
+        h = portable_hash64(F.col("w"))
     sums = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -178,11 +193,13 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
         for j in range(bits)
     ]
     agg = words.groupBy("doc_id").agg(*sums)
-    sig = None
+    sig = F.lit(0).cast("long")
     for j in range(bits):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+        term = F.when(
+            F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(term)
+    return agg.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(
@@ -191,6 +208,7 @@ def simhash_pairs(
     bits: int = 16,
     bands: int = 4,
     max_hamming: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band-exact-match candidate join (a pair
     within hamming distance d < bands must share at least one exact band),
@@ -198,7 +216,7 @@ def simhash_pairs(
 
     Returns (doc_a, doc_b, hamming) with doc_a < doc_b, hamming <= max_hamming.
     """
-    sig = simhash(df, text_col, bits=bits)
+    sig = simhash(df, text_col, bits=bits, hash_fn=hash_fn)
     width = bits // bands
     mask = (1 << width) - 1
     # shiftright needs a literal shift → unroll bands in Python (tiny loop)

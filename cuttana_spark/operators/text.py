@@ -114,3 +114,67 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
         .filter(F.col("shingle") != "")
         .distinct()
     )
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/shape signals (Rae et al. 2021 quality
+    filters), all JVM-side higher-order functions — no UDFs:
+
+      dup_word_ratio    1 − distinct_words / words (word-level repetition)
+      top_bigram_ratio  occurrences of the most frequent word bigram / bigrams
+      mean_word_len     mean normalized-word length
+      symbol_ratio      non-alphanumeric, non-space chars per word
+
+    A doc failing `passes_gopher` (all thresholds at the published
+    magnitudes) is a repetition/boilerplate suspect.
+    """
+    t = F.col(text_col)
+    words = F.split(normalized(t), " ")
+    words = F.filter(words, lambda w: w != "")
+    n_words = F.size(words)
+    safe_words = F.greatest(n_words, F.lit(1))
+
+    n_distinct = F.size(F.array_distinct(words))
+    dup_word_ratio = (1.0 - n_distinct / safe_words).cast("double")
+
+    # top bigram via explode + two hash aggregates (linear in doc length;
+    # a per-doc nested array scan would be O(L^2) and die on long docs)
+    n_big = F.greatest(n_words - 1, F.lit(0))
+    idx = F.when(n_big > 0, F.sequence(F.lit(0), n_big - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)))
+    big = df.select("doc_id", F.explode(bigrams).alias("bg"))
+    top = (
+        big.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_big"), F.sum("c").alias("n_big"))
+    )
+
+    total_word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = (total_word_chars / safe_words).cast("double")
+    n_symbols = F.size(F.regexp_extract_all(t, F.lit("[^A-Za-z0-9\\s]"), 0))
+    symbol_ratio = (n_symbols / safe_words).cast("double")
+
+    out = (
+        df.withColumn("dup_word_ratio", dup_word_ratio)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .join(top, "doc_id", "left")
+        .withColumn(
+            "top_bigram_ratio",
+            F.coalesce(F.col("top_big") / F.col("n_big"), F.lit(0.0)).cast("double"),
+        )
+        .drop("top_big", "n_big")
+    )
+    return out.withColumn(
+        "passes_gopher",
+        (F.col("dup_word_ratio") <= 0.5)
+        & (F.col("top_bigram_ratio") <= 0.2)
+        & (F.col("mean_word_len") >= 2.0)
+        & (F.col("mean_word_len") <= 12.0)
+        & (F.col("symbol_ratio") <= 1.0),
+    )

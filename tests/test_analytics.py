@@ -196,3 +196,15 @@ def test_pagerank_dangling_vertices_in_plan(spark):
         x = (1 - alpha) / n + alpha * (contrib + dangling / n)
     for v in range(n):
         assert got[v] == pytest.approx(x[v], abs=1e-12)
+
+
+def test_k_core_matches_networkx(spark, G, edges_df):
+    import networkx as nx
+
+    from cuttana_spark.analytics.kcore import k_core
+
+    core_num = nx.core_number(G)
+    for k in (2, 3):
+        got = sorted(r.vertex for r in k_core(spark, edges_df, k=k).collect())
+        want = sorted(v for v, c in core_num.items() if c >= k)
+        assert got == want

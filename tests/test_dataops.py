@@ -225,3 +225,42 @@ def test_gemm_variants_equal_jvm_variants(spark, emb):
     assert norm(ivf_topk(sub, sub, n_cells=4, nprobe=2, k=3)) == norm(
         ivf_topk_gemm(sub, sub, n_cells=4, nprobe=2, k=3)
     )
+
+
+def test_simhash64_xxhash_production_path(spark):
+    """64-bit xxhash64 simhash: near-identical docs are close in Hamming
+    space, unrelated docs far; the sign bit (bit 63) packs without ANSI
+    overflow; band join finds the near pair at 64-bit width."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (3, "completely different vocabulary with unrelated words here now today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r.doc_id: r.simhash for r in D.simhash(df, bits=64, hash_fn="xxhash64").collect()}
+    ham = lambda a, b: bin((sig[a] ^ sig[b]) & (2**64 - 1)).count("1")
+    assert ham(1, 2) < ham(1, 3)
+    assert ham(1, 2) <= 16  # 1-token diff over 10 tokens
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.simhash_pairs(
+            df, bits=64, bands=8, max_hamming=16, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == ham(1, 2)
+    assert (1, 3) not in pairs
+
+
+def test_with_repetition_gopher_signals(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),  # degenerate repetition
+        (2, "a genuinely varied sentence with many different interesting words inside"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in T.with_repetition(df).collect()}
+    assert out[1].dup_word_ratio > 0.8
+    assert out[1].top_bigram_ratio == pytest.approx(1.0)
+    assert not out[1].passes_gopher
+    assert out[2].dup_word_ratio == pytest.approx(0.0)
+    assert out[2].top_bigram_ratio < 0.2
+    assert out[2].passes_gopher
