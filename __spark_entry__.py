@@ -1141,6 +1141,39 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 6
 """
 
 
+def _q_supplier_part_revenue(spark, sf_dir):
+    """Star join over the remaining dimension tables (part, supplier,
+    nation): revenue and volume per (nation, brand). Dimensions broadcast;
+    the lineitem fact streams — the canonical retail-analytics shape."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    rev_e6 = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 1e6).cast(
+        "long"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(rev_e6).alias("revenue_e6"))
+        .orderBy("n_name", "p_brand")
+    )
+
+
+_SUPPLIER_PART_SQL = """
+SELECT n_name, p_brand, count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e6) AS BIGINT)) AS BIGINT) AS revenue_e6
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, p_brand
+ORDER BY n_name, p_brand
+"""
+
+
 def _q_gopher_repetition(spark, sf_dir):
     """Gopher-style repetition/shape filters (dup-word ratio, top-bigram
     ratio, mean word length, symbol ratio) — the standard pre-training
@@ -1317,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_events": _q_rollup_events,
         "gopher_repetition": _q_gopher_repetition,
         "kcore2_transcripts": _q_kcore2_transcripts,
+        "supplier_part_revenue": _q_supplier_part_revenue,
     }
 
 
@@ -1356,6 +1390,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_events": _ROLLUP_SQL,
         "gopher_repetition": _GOPHER_SQL,
         "kcore2_transcripts": _kcore_sql(),
+        "supplier_part_revenue": _SUPPLIER_PART_SQL,
         "degree_histogram": _DEGREE_HIST_SQL_TMPL.format(edges=_transcript_edges_sql()),
         # cc_transcripts, lpa_events, partition_transcripts,
         # pagerank_csr_transcripts, lsh_ann, multimodal_features: rows-only
