@@ -161,3 +161,88 @@ def test_streaming_out_of_order_cross_batch(spark, tmp_path):
         (r.src_key, r.dst_key) for r in spark.read.parquet(out).collect()
     )
     assert got == [("a", "b"), ("b", "c"), ("b", "d")]
+
+
+def test_streaming_sessions_cross_batch(spark, tmp_path):
+    """Closed sessions emitted by the stream equal the numpy oracle's closed
+    sessions, including a session spanning two micro-batches (state carries
+    the open session's aggregates across the batch boundary)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from cuttana_spark.streaming.sessions import GAP_SEC, materialize_sessions
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)
+    # user 7: session A (0s, 100s), session B (3000s, 3100s | 3200s in batch2),
+    # session C (9000s) — B SPANS the batch boundary; C stays open (never emitted)
+    b1 = [
+        (1, sec(0), 7, "click", 1.5, ""),
+        (2, sec(100), 7, "view", 2.25, ""),
+        (3, sec(3000), 7, "click", 4.0, ""),
+        (4, sec(3100), 7, "view", 0.5, ""),
+    ]
+    b2 = [
+        (5, sec(3200), 7, "click", 1.0, ""),
+        (6, sec(9000), 7, "purchase", 8.0, ""),
+    ]
+    src, out, ckpt = tmp_path / "src", str(tmp_path / "out"), str(tmp_path / "ck")
+    src.mkdir()
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+        materialize_sessions(spark, str(src), ckpt, out)
+
+    got = sorted(
+        (r.user_id, r.session_start, r.n_events, r.sum_value_e6)
+        for r in spark.read.parquet(out).collect()
+    )
+    base = t0.timestamp()
+    want = [
+        (7, base + 0.0, 2, int(np.round(1.5 * 1e6)) + int(np.round(2.25 * 1e6))),
+        (7, base + 3000.0, 3, int(np.round(4.0 * 1e6)) + int(np.round(0.5 * 1e6)) + int(np.round(1.0 * 1e6))),
+    ]
+    assert got == want
+    assert GAP_SEC == 1800.0
+
+
+def test_streaming_sessions_bulk_matches_numpy_oracle(spark, sf_dir, tmp_path):
+    """All closed sessions over the sf0.001 events table match a pure-numpy
+    sessionizer with identical semantics (per user: sort by ts/event_id,
+    close on gap > GAP_SEC, drop the final open session)."""
+    import numpy as np
+
+    from cuttana_spark.streaming.sessions import GAP_SEC, materialize_sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "src")
+    ev.write.mode("overwrite").parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    materialize_sessions(spark, src, ckpt, out)
+    got = sorted(
+        (r.user_id, r.session_start, r.n_events, r.sum_value_e6)
+        for r in spark.read.parquet(out).collect()
+    )
+
+    rows = ev.select("user_id", "ts", "event_id", "value").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts.timestamp(), r.event_id, r.value))
+    want = []
+    for uid, evs in by_user.items():
+        evs.sort()
+        sess = []
+        cur = None
+        last = None
+        for ts, _, val in evs:
+            if cur is None or ts - last > GAP_SEC:
+                if cur is not None:
+                    sess.append(cur)
+                cur = [ts, 0, 0]
+            cur[1] += 1
+            cur[2] += int(np.round(val * 1e6))
+            last = ts
+        # final session stays open — not emitted by the stream
+        want.extend((uid, s[0], s[1], s[2]) for s in sess)
+    assert got == sorted(want)
