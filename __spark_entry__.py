@@ -691,16 +691,21 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
-_SHINGLE_SQL = f"""
+def _shingle_sql(where: str) -> str:
+    norm = _NORM.format(col="text")
+    return f"""
   SELECT doc_id, unnest(list_distinct(list_transform(
-    generate_series(1, greatest(len(str_split({_NORM.format(col='text')}, ' ')) - 2, 0)),
+    generate_series(1, greatest(len(str_split({norm}, ' ')) - 2, 0)),
     i -> concat_ws(' ',
-         list_extract(str_split({_NORM.format(col='text')}, ' '), i),
-         list_extract(str_split({_NORM.format(col='text')}, ' '), i + 1),
-         list_extract(str_split({_NORM.format(col='text')}, ' '), i + 2))
+         list_extract(str_split({norm}, ' '), i),
+         list_extract(str_split({norm}, ' '), i + 1),
+         list_extract(str_split({norm}, ' '), i + 2))
   ))) AS shingle
-  FROM documents WHERE {_DOCS_SUBSET}
+  FROM documents WHERE {where}
 """
+
+
+_SHINGLE_SQL = _shingle_sql(_DOCS_SUBSET)
 
 _NGRAM_JACCARD_SQL = f"""
 WITH sh AS ({_SHINGLE_SQL}),
@@ -1141,6 +1146,79 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 6
 """
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction (email/phone/IPv4 -> placeholder tokens): the oracle
+    applies the identical regex chain in DuckDB, proving cross-engine regex
+    semantics; output is the fingerprint of the scrubbed text plus how many
+    redactions happened."""
+    from cuttana_spark.operators.text import portable_hash64, scrub_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    out = scrub_pii(docs)
+    n_red = (
+        F.size(F.regexp_extract_all(F.col("scrubbed"), F.lit("<(EMAIL|PHONE|IPV4)>"), 0))
+    )
+    return out.select(
+        "doc_id",
+        portable_hash64(F.col("scrubbed")).alias("scrub_fp"),
+        n_red.cast("long").alias("n_redactions"),
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from cuttana_spark.operators.text import PII_PATTERNS
+
+    expr = "text"
+    for name, pat in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '<{name}>', 'g')"
+    return f"""
+SELECT doc_id,
+       {_H64.format(x=expr)} AS scrub_fp,
+       CAST(len(regexp_extract_all({expr}, '<(EMAIL|PHONE|IPV4)>')) AS BIGINT) AS n_redactions
+FROM documents
+"""
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus = doc_id % 10 <> 0, eval set =
+    doc_id % 10 = 0; flag corpus docs whose 3-gram overlap with the eval
+    set exceeds 10%."""
+    from cuttana_spark.operators.dedup import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    corp = docs.filter("doc_id % 10 != 0")
+    bench = docs.filter(_DOCS_SUBSET)
+    out = decontaminate(corp, bench, max_overlap=0.1)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round(F.col("overlap") * 1e9).cast("long").alias("overlap_e9"),
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+def _decontaminate_sql() -> str:
+    return f"""
+WITH csh AS ({_shingle_sql("doc_id % 10 <> 0")}),
+csh2 AS (SELECT doc_id, shingle FROM csh WHERE shingle <> ''),
+bsh AS (SELECT DISTINCT shingle FROM ({_shingle_sql(_DOCS_SUBSET)}) WHERE shingle <> ''),
+stats AS (
+  SELECT c.doc_id, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cont
+  FROM csh2 c LEFT JOIN bsh b ON b.shingle = c.shingle
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(n_cont, 0) AS BIGINT) AS n_contaminated,
+       CAST(round(CAST(coalesce(n_cont, 0) AS DOUBLE) / greatest(coalesce(n_shingles, 0), 1) * 1e9) AS BIGINT) AS overlap_e9,
+       CAST(CASE WHEN CAST(coalesce(n_cont, 0) AS DOUBLE) / greatest(coalesce(n_shingles, 0), 1) > 0.1 THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+LEFT JOIN stats ON stats.doc_id = d.doc_id
+"""
+
+
 def _q_supplier_part_revenue(spark, sf_dir):
     """Star join over the remaining dimension tables (part, supplier,
     nation): revenue and volume per (nation, brand). Dimensions broadcast;
@@ -1351,6 +1429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "kcore2_transcripts": _q_kcore2_transcripts,
         "supplier_part_revenue": _q_supplier_part_revenue,
+        "pii_scrub": _q_pii_scrub,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -1391,6 +1471,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": _GOPHER_SQL,
         "kcore2_transcripts": _kcore_sql(),
         "supplier_part_revenue": _SUPPLIER_PART_SQL,
+        "pii_scrub": _pii_scrub_sql(),
+        "decontaminate": _decontaminate_sql(),
         "degree_histogram": _DEGREE_HIST_SQL_TMPL.format(edges=_transcript_edges_sql()),
         # cc_transcripts, lpa_events, partition_transcripts,
         # pagerank_csr_transcripts, lsh_ann, multimodal_features: rows-only

@@ -247,3 +247,41 @@ def simhash_pairs(
         "doc_b",
         F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_overlap: float = 0.1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing too many word
+    n-grams with an evaluation set (the standard pre-training hygiene step).
+
+    overlap(doc) = |shingles(doc) ∩ shingles(benchmark)| / |shingles(doc)|.
+    Returns (doc_id, n_shingles, n_contaminated, overlap, contaminated).
+    The benchmark's distinct shingle set is usually tiny relative to the
+    corpus → broadcast anti-ish join; the corpus side is one explode + one
+    aggregate (no all-pairs anything). Docs with zero shingles are clean.
+    """
+    corpus_sh = shingles(df, text_col, n=shingle_n)
+    bench_sh = F.broadcast(
+        shingles(benchmark, text_col, n=shingle_n).select("shingle").distinct()
+    )
+    marked = corpus_sh.join(
+        bench_sh.withColumn("hit", F.lit(1)), "shingle", "left"
+    )
+    stats = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_contaminated"),
+    )
+    out = df.select("doc_id").join(stats, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+    )
+    overlap = F.col("n_contaminated") / F.greatest(F.col("n_shingles"), F.lit(1))
+    return out.withColumn("overlap", overlap.cast("double")).withColumn(
+        "contaminated", overlap > max_overlap
+    )

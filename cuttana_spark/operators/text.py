@@ -178,3 +178,23 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("mean_word_len") <= 12.0)
         & (F.col("symbol_ratio") <= 1.0),
     )
+
+
+PII_PATTERNS = [
+    # order matters: emails first (their local part contains digits/dots),
+    # then IPv4 (else the dot-tolerant PHONE pattern would eat addresses),
+    # then phone-ish digit runs
+    ("EMAIL", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("IPV4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"),
+    ("PHONE", "\\+?[0-9][0-9() .-]{7,}[0-9]"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "scrubbed") -> DataFrame:
+    """Redact email / phone / IPv4 literals with <TYPE> placeholder tokens —
+    chained JVM regexp_replace, no UDF. Patterns stay in the common RE2/PCRE
+    subset so the DuckDB oracle applies the identical expressions."""
+    col = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, f"<{name}>")
+    return df.withColumn(out_col, col)

@@ -264,3 +264,34 @@ def test_with_repetition_gopher_signals(spark):
     assert out[2].dup_word_ratio == pytest.approx(0.0)
     assert out[2].top_bigram_ratio < 0.2
     assert out[2].passes_gopher
+
+
+def test_scrub_pii_redacts_crafted_strings(spark):
+    rows = [
+        (1, "contact me at jane.doe+spam@example.co.uk or call +1 (415) 555-0199 now"),
+        (2, "server at 192.168.10.42 responded"),
+        (3, "no personal identifiers in this sentence at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.scrubbed for r in T.scrub_pii(df).collect()}
+    assert "<EMAIL>" in got[1] and "<PHONE>" in got[1]
+    assert "jane.doe" not in got[1] and "555-0199" not in got[1]
+    assert got[2] == "server at <IPV4> responded"
+    assert got[3] == rows[2][1]
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight again"),  # near-copy
+            (2, "completely unrelated training document with fresh content here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in D.decontaminate(corpus, bench, max_overlap=0.1).collect()}
+    assert got[1].contaminated and got[1].overlap > 0.7
+    assert not got[2].contaminated and got[2].n_contaminated == 0
