@@ -372,6 +372,52 @@ def _q_partition_transcripts(spark, sf_dir):
     )
 
 
+def _q_ppr_events(spark, sf_dir):
+    """Personalized PageRank (random walk with restart) on the user↔type
+    bipartite graph, seeded at the event-type nodes; 3 supersteps."""
+    from cuttana_spark.analytics.pagerank import personalized_pagerank
+    from cuttana_spark.operators import edges as E
+
+    nodes, eids = E.events_graph(_read(spark, sf_dir, "events"))
+    seeds = nodes.filter(F.col("node_key").startswith("type|")).select(
+        F.col("vid").alias("vertex")
+    )
+    sym = E.symmetrize(eids)
+    pr = personalized_pagerank(spark, sym, seeds, max_iter=3)
+    return pr.select("vertex", F.round(F.col("score") * 1e12).cast("long").alias("score_e12"))
+
+
+def _ppr_sql(iters: int = 3) -> str:
+    parts = [_graph_ids_ctes(_BIPARTITE_SQL)]
+    parts.append(
+        """,
+ns AS MATERIALIZED (
+  SELECT vid AS vertex, CASE WHEN node_key LIKE 'type|%' THEN 1 ELSE 0 END AS is_seed
+  FROM nk
+),
+nseed AS (SELECT CAST(sum(is_seed) AS DOUBLE) AS k FROM ns),
+degw AS (SELECT src, sum(weight) AS dw FROM sym GROUP BY src),
+trans AS MATERIALIZED (SELECT s.src, s.dst, s.weight / d.dw AS p FROM sym s JOIN degw d ON s.src = d.src),
+r0 AS MATERIALIZED (SELECT vertex, is_seed / (SELECT k FROM nseed) AS score FROM ns)"""
+    )
+    for r in range(1, iters + 1):
+        parts.append(
+            f""",
+c{r} AS MATERIALIZED (SELECT t.dst AS vertex, sum(t.p * r.score) AS contrib
+         FROM trans t JOIN r{r - 1} r ON t.src = r.vertex GROUP BY t.dst),
+r{r} AS MATERIALIZED (SELECT n.vertex,
+         0.15 * n.is_seed / (SELECT k FROM nseed) + 0.85 * coalesce(c.contrib, 0) AS score
+         FROM ns n LEFT JOIN c{r} c ON c.vertex = n.vertex)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+SELECT vertex, CAST(round(score * 1e12) AS BIGINT) AS score_e12 FROM r{iters}
+"""
+    )
+
+
 def _q_pagerank_csr_transcripts(spark, sf_dir):
     """CSR-block PageRank over Cuttana partitions. Oracled: the converged
     scores are partition-independent, so 3 unrolled relational PR supersteps
@@ -1392,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_from_transcripts": _q_edges_from_transcripts,
         "degree_topk": _q_degree_topk,
         "pagerank5_events": _q_pagerank5_events,
+        "ppr_events": _q_ppr_events,
         "triangles_transcripts": _q_triangles_transcripts,
         "cc_transcripts": _q_cc_transcripts,
         "lpa_events": _q_lpa_events,
@@ -1441,6 +1488,7 @@ def oracle_sql() -> dict[str, str]:
         "edges_from_transcripts": _transcript_edges_sql(),
         "degree_topk": _ORACLE_DEGREE_TOPK,
         "pagerank5_events": _PAGERANK5_SQL,
+        "ppr_events": _ppr_sql(),
         "triangles_transcripts": _TRIANGLES_SQL,
         "cc_transcripts": _cc_sql(),
         "lpa_events": _lpa_sql(),

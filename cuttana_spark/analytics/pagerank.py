@@ -230,3 +230,69 @@ def pagerank_csr(
         if err < n * tol:
             break
     return ranks.select("vertex", "score")
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha: float = 0.85,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Personalized PageRank: teleport (and dangling mass) go UNIFORMLY to
+    the `seeds` vertex set instead of to all vertices — random walk with
+    restart from the seeds. seeds: DataFrame[vertex]. Fixed-iteration,
+    lazily chained like pagerank(); the seed indicator rides along as a
+    column so each superstep's teleport needs no extra join."""
+    edges = edges.select("src", "dst", F.col("weight").cast("double"))
+    nodes = _nodes(edges).cache()
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "vertex long, score double")
+    seed_df = F.broadcast(seeds.select("vertex").distinct().withColumn("is_seed", F.lit(1)))
+    nodes_s = nodes.join(seed_df, "vertex", "left").select(
+        "vertex", F.coalesce("is_seed", F.lit(0)).alias("is_seed")
+    ).cache()
+    n_seeds = nodes_s.agg(F.sum("is_seed")).first()[0]
+    if not n_seeds:
+        raise ValueError("personalized_pagerank: no seed vertex exists in the graph")
+
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    trans = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
+    ).cache()
+    dangling = nodes.join(out_w, nodes.vertex == out_w.src, "left_anti").cache()
+    has_dangling = dangling.count() > 0
+
+    # start from the restart distribution (uniform over seeds)
+    ranks = nodes_s.withColumn(
+        "score", F.col("is_seed").cast("double") / F.lit(float(n_seeds))
+    ).localCheckpoint(eager=True)
+    for it in range(max_iter):
+        contribs = (
+            trans.join(ranks, trans.src == ranks.vertex)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("score")).alias("contrib"))
+        )
+        joined = nodes_s.join(contribs, nodes_s.vertex == contribs.dst, "left")
+        if has_dangling:
+            dm = dangling.join(ranks, "vertex").agg(
+                F.coalesce(F.sum("score"), F.lit(0.0)).alias("dmass")
+            )
+            joined = joined.crossJoin(F.broadcast(dm))
+            extra = F.col("dmass") / F.lit(float(n_seeds))
+        else:
+            extra = F.lit(0.0)
+        restart = F.col("is_seed").cast("double") / F.lit(float(n_seeds))
+        new_ranks = joined.select(
+            "vertex",
+            "is_seed",
+            (
+                F.lit(1.0 - alpha) * restart
+                + F.lit(alpha) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + extra * F.col("is_seed"))
+            ).alias("score"),
+        )
+        if (it + 1) % 5 == 0 or it + 1 == max_iter:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        ranks = new_ranks
+    return ranks.select("vertex", "score")

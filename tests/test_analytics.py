@@ -208,3 +208,34 @@ def test_k_core_matches_networkx(spark, G, edges_df):
         got = sorted(r.vertex for r in k_core(spark, edges_df, k=k).collect())
         want = sorted(v for v, c in core_num.items() if c >= k)
         assert got == want
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    """Random walk with restart from seeds {0}: exact vs a direct numpy
+    recurrence on a small weighted digraph (incl. a dangling vertex whose
+    mass restarts to the seeds)."""
+    from cuttana_spark.analytics.pagerank import personalized_pagerank
+
+    edges = [(0, 1, 2.0), (0, 2, 1.0), (1, 2, 1.0), (3, 0, 1.0)]  # 2 = sink
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    seeds = spark.createDataFrame([(0,)], "vertex long")
+    got = {
+        r.vertex: r.score
+        for r in personalized_pagerank(spark, df, seeds, max_iter=15).collect()
+    }
+
+    n, alpha = 4, 0.85
+    restart = np.array([1.0, 0, 0, 0])
+    x = restart.copy()
+    out = {0: [(1, 2 / 3), (2, 1 / 3)], 1: [(2, 1.0)], 3: [(0, 1.0)]}
+    for _ in range(15):
+        contrib = np.zeros(n)
+        for u, lst in out.items():
+            for v, p in lst:
+                contrib[v] += x[u] * p
+        dmass = x[2]
+        x = (1 - alpha) * restart + alpha * (contrib + dmass * restart)
+    for v in range(n):
+        assert got[v] == pytest.approx(x[v], abs=1e-12)
+    # mass conserved: scores sum to 1
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
