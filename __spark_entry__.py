@@ -1298,6 +1298,122 @@ ORDER BY n_name, p_brand
 """
 
 
+def _q_asof_purchases(spark, sf_dir):
+    """As-of join: every non-purchase event picks up the user's latest
+    purchase at-or-before its timestamp (classic time-series enrichment).
+    The right side is deduped to one row per (user, ts) so the match is
+    deterministic; oracle = DuckDB's native ASOF LEFT JOIN."""
+    from cuttana_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    left = ev.filter("event_type != 'purchase'").select("event_id", "user_id", "ts")
+    right = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "value")).alias("m"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("m.event_id").alias("purchase_id"),
+            F.round(F.col("m.value") * 1e6).cast("long").alias("purchase_value_e6"),
+        )
+    )
+    out = asof_join(left, right, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "purchase_id_asof",
+        "purchase_value_e6_asof",
+    )
+
+
+_ASOF_SQL = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'),
+r AS (
+  SELECT user_id, ts,
+         max(struct_pack(event_id := event_id, value := value)).event_id AS purchase_id,
+         CAST(round(max(struct_pack(event_id := event_id, value := value)).value * 1e6) AS BIGINT) AS purchase_value_e6
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_s,
+       r.purchase_id AS purchase_id_asof,
+       r.purchase_value_e6 AS purchase_value_e6_asof
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def _q_window_funcs(spark, sf_dir):
+    """Window-function conformance: rank / dense_rank / row_number /
+    lag / lead / running count per customer over their orders."""
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    price_e4 = F.round(F.col("o_totalprice") * 1e4).cast("long")
+    base = orders.select("o_custkey", "o_orderkey", price_e4.alias("price_e4"))
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("price_e4"), "o_orderkey")
+    wc = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("price_e4"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        "price_e4",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.lag("price_e4").over(w).alias("prev_price_e4"),
+        F.lead("price_e4").over(w).alias("next_price_e4"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("running_n"),
+    )
+
+
+_WINDOW_FUNCS_SQL = """
+SELECT o_custkey, o_orderkey, price_e4,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       lag(price_e4) OVER w AS prev_price_e4,
+       lead(price_e4) OVER w AS next_price_e4,
+       CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY price_e4 DESC, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
+FROM (SELECT o_custkey, o_orderkey, CAST(round(o_totalprice * 1e4) AS BIGINT) AS price_e4 FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY price_e4 DESC, o_orderkey)
+"""
+
+
+def _q_sketch_check(spark, sf_dir):
+    """Sketch accuracy gate: per event_type, Spark's HLL++
+    approx_count_distinct and approx_percentile must land within 5% of the
+    exact answers computed in the same plan. The oracle can't reproduce the
+    sketches, so it asserts the exact values plus the CONTRACT (flags = 1):
+    if a sketch drifts out of tolerance the value hash fails."""
+    ev = _read(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id").alias("cd_approx"),
+        F.expr("percentile(value, 0.5)").alias("med_exact"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("med_approx"),
+    )
+    ok = lambda a, b: (F.abs(F.col(a) - F.col(b)) / F.greatest(F.abs(F.col(b)), F.lit(1e-9)) <= 0.05)
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        ok("cd_approx", "n_users_exact").cast("int").alias("cd_ok"),
+        ok("med_approx", "med_exact").cast("int").alias("med_ok"),
+    ).orderBy("event_type")
+
+
+_SKETCH_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+       CAST(1 AS INT) AS cd_ok, CAST(1 AS INT) AS med_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _q_gopher_repetition(spark, sf_dir):
     """Gopher-style repetition/shape filters (dup-word ratio, top-bigram
     ratio, mean word length, symbol ratio) — the standard pre-training
@@ -1478,6 +1594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_revenue": _q_supplier_part_revenue,
         "pii_scrub": _q_pii_scrub,
         "decontaminate": _q_decontaminate,
+        "asof_purchases": _q_asof_purchases,
+        "window_funcs": _q_window_funcs,
+        "sketch_check": _q_sketch_check,
     }
 
 
@@ -1521,6 +1640,9 @@ def oracle_sql() -> dict[str, str]:
         "supplier_part_revenue": _SUPPLIER_PART_SQL,
         "pii_scrub": _pii_scrub_sql(),
         "decontaminate": _decontaminate_sql(),
+        "asof_purchases": _ASOF_SQL,
+        "window_funcs": _WINDOW_FUNCS_SQL,
+        "sketch_check": _SKETCH_SQL,
         "degree_histogram": _DEGREE_HIST_SQL_TMPL.format(edges=_transcript_edges_sql()),
         # cc_transcripts, lpa_events, partition_transcripts,
         # pagerank_csr_transcripts, lsh_ann, multimodal_features: rows-only

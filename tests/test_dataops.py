@@ -295,3 +295,27 @@ def test_decontaminate_flags_planted_overlap(spark):
     got = {r.doc_id: r for r in D.decontaminate(corpus, bench, max_overlap=0.1).collect()}
     assert got[1].contaminated and got[1].overlap > 0.7
     assert not got[2].contaminated and got[2].n_contaminated == 0
+
+
+def test_asof_join_crafted(spark):
+    """Left rows pick the latest right row at-or-before their ts per key;
+    equal timestamps match (<= contract); keys with no earlier right row
+    get nulls."""
+    from cuttana_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 35, "c"), (2, 5, "d")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 30, 300.0), (2, 50, 500.0)],
+        "k long, ts long, px double",
+    )
+    out = {
+        (r.k, r.ts): r.px_asof
+        for r in asof_join(left, right, on="ts", by="k").collect()
+    }
+    assert out[(1, 10)] == 100.0  # equal ts matches
+    assert out[(1, 20)] == 100.0
+    assert out[(1, 35)] == 300.0
+    assert out[(2, 5)] is None  # right row is in the future
