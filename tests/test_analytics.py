@@ -239,3 +239,27 @@ def test_personalized_pagerank_matches_numpy(spark):
         assert got[v] == pytest.approx(x[v], abs=1e-12)
     # mass conserved: scores sum to 1
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_csr_multichunk_blocks(spark, G, edges_df, monkeypatch):
+    """Force CHUNK_EDGES small so every partition block splits into many
+    CSR chunk rows — exercises the per-block chunk-merge path in
+    scatter_gather (untested at default 2M chunk size) and must still equal
+    the DataFrame engine exactly."""
+    from cuttana_spark.analytics import csr
+    from cuttana_spark.analytics.pagerank import pagerank, pagerank_csr
+    from cuttana_spark.partition import cuttana_partition
+
+    monkeypatch.setattr(csr, "CHUNK_EDGES", 64)
+
+    adj = [(v, sorted(G.neighbors(v))) for v in sorted(G.nodes())]
+    res = cuttana_partition(adj, 4)
+    vp = res.to_spark_df(spark).select("vertex", "partition_id")
+    a = {r.vertex: r.score for r in pagerank(spark, _sym(edges_df), max_iter=4, tol=0.0).collect()}
+    b = {
+        r.vertex: r.score
+        for r in pagerank_csr(spark, _sym(edges_df), vp, max_iter=4, tol=0.0).collect()
+    }
+    assert set(a) == set(b)
+    for v in a:
+        assert b[v] == pytest.approx(a[v], abs=1e-12)
