@@ -13,11 +13,11 @@ Exactness notes vs the sequential core:
     θ·(assigned_nbrs_now/deg) + deg/threshold exactly (each neighbor
     assignment bumps θ/deg — /root/reference/src/buffer.rs:150-168), so
     computing scores lazily at drain start is EXACT while no evictions
-    happen mid-stream. NOTE: this batched variant IGNORES
-    cfg.max_buffer_size — the entire low-degree population is buffered and
-    drained at finish (the sequential core honors the mid-stream eviction);
-    driver memory is therefore O(V + E) for the buffered stream (see the
-    ceiling note in core.iter_adjacency_batches / README);
+    happen mid-stream; when the buffered population exceeds
+    cfg.max_buffer_size the whole buffer is drained mid-stream with running
+    metrics at that position (the reference evicts ONE vertex per overflowing
+    insert — batched semantics drain the full buffer at the same trigger
+    point, an approximation in the same spirit as batch-snapshot scoring);
   * within a batch, sizes/neighbor assignments are frozen at the snapshot —
     the B vertices of a batch don't see each other (quality validated
     against the golden bands in tests, which is also how we validate the
@@ -114,7 +114,9 @@ class BatchedCuttanaPartitioner:
         cum_v = np.arange(1, n_stream + 1)
         cum_e = np.cumsum(lens)
         gamma = cfg.gamma
-        for i in np.flatnonzero(high).tolist():
+
+        def _assign_high(i: int) -> None:
+            nonlocal cut_count
             vi = vs[i]
             ni = indices[indptr[i] : indptr[i + 1]]
             vc, ec = int(cum_v[i]), int(cum_e[i])
@@ -152,128 +154,163 @@ class BatchedCuttanaPartitioner:
             sub_assign[vi] = bs
             ssz[bs] += 1
 
-        # ---- drain phase: batched top-score eviction
+        # ---- drain machinery: batched top-score eviction over whatever is
+        # currently buffered, with FENNEL metrics frozen at (vc_now, ec_now)
         buffered = np.zeros(n, bool)
-        low_idx = np.flatnonzero(~high)
-        buffered[vs[low_idx]] = True
         buf_score = np.full(n, -np.inf)
-        if low_idx.shape[0]:
-            bvs = vs[low_idx]
-            # exact drain-start scores (see module docstring)
-            nb, seg, blens = _gather_flat(indptr, indices, low_idx)
-            assigned = (assign[nb] >= 0).astype(np.int64)
-            n_assigned = np.zeros(low_idx.shape[0], np.int64)
-            np.add.at(n_assigned, seg, assigned)
-            safe = np.maximum(blens, 1)
-            buf_score[bvs] = cfg.theta * (n_assigned / safe) + blens / cfg.buffer_degree_threshold
 
         # map dense vertex -> stream row (for CSR slices during drain)
         row_of = np.full(n, -1, np.int64)
         row_of[vs] = np.arange(n_stream)
 
-        thr_v = (1.0 + self.slack1) * vc_total / k
-        v_eff = vc_total // k
-        sub_thr = (1.0 + self.slack1) * v_eff / S
-        ag = (k ** (gamma - 1.0) * vc_total / ec_total**gamma) * gamma if ec_total else 0.0
+        def _score_buffered(rows: np.ndarray) -> None:
+            """Exact drain-start scores for newly-buffered stream rows (the
+            telescoped formula — see module docstring)."""
+            if rows.shape[0] == 0:
+                return
+            bvs = vs[rows]
+            nb, seg, blens = _gather_flat(indptr, indices, rows)
+            assigned = (assign[nb] >= 0).astype(np.int64)
+            n_assigned = np.zeros(rows.shape[0], np.int64)
+            np.add.at(n_assigned, seg, assigned)
+            safe = np.maximum(blens, 1)
+            buf_score[bvs] = (
+                cfg.theta * (n_assigned / safe) + blens / cfg.buffer_degree_threshold
+            )
 
-        n_buf = int(buffered.sum())
-        # adaptive batch: staleness is relative (B/n), so large graphs can
-        # take proportionally larger batches at equal quality
-        B = max(self.batch_size, n_buf // 128)
-        while n_buf > 0:
-            b = min(B, n_buf)
-            # select top-b among *buffered only* (argpartition over the
-            # compacted candidate set, not the full vertex range)
-            cand_idx = np.flatnonzero(buffered)
-            if b < cand_idx.shape[0]:
-                sub = np.argpartition(-buf_score[cand_idx], b - 1)[:b]
-                cand = cand_idx[sub]
+        def _drain(vc_now: int, ec_now: int) -> None:
+            nonlocal cut_count, sizes
+            thr_v = (1.0 + self.slack1) * vc_now / k
+            v_eff = vc_now // k
+            sub_thr = (1.0 + self.slack1) * v_eff / S
+            ag = (k ** (gamma - 1.0) * vc_now / ec_now**gamma) * gamma if ec_now else 0.0
+
+            n_buf = int(buffered.sum())
+            # adaptive batch: staleness is relative (B/n), so large graphs can
+            # take proportionally larger batches at equal quality
+            B = max(self.batch_size, n_buf // 128)
+            while n_buf > 0:
+                b = min(B, n_buf)
+                # select top-b among *buffered only* (argpartition over the
+                # compacted candidate set, not the full vertex range)
+                cand_idx = np.flatnonzero(buffered)
+                if b < cand_idx.shape[0]:
+                    sub = np.argpartition(-buf_score[cand_idx], b - 1)[:b]
+                    cand = cand_idx[sub]
+                else:
+                    cand = cand_idx
+                    b = cand.shape[0]
+                rows = row_of[cand]
+                nb, seg, _ = _gather_flat(indptr, indices, rows)
+
+                parts = assign[nb]
+                valid = parts >= 0
+                C = np.zeros((b, k), np.int64)
+                np.add.at(C, (seg[valid], parts[valid]), 1)
+
+                cost = ag * sizes.astype(np.float64) ** (gamma - 1.0)
+                room = sizes < thr_v
+                if not room.any():
+                    raise RuntimeError("Partition capacity exceeded.")
+                scores = np.where(room[None, :] & (C > 0), C - cost[None, :], -np.inf)
+                best = np.argmax(scores, axis=1).astype(np.int32)
+                row_max = scores[np.arange(b), best]
+                seed_cost = -cost[np.argmin(sizes)]
+                fallback = row_max < seed_cost  # no candidate beats the seed
+                if fallback.any():
+                    # water-fill the smallest partitions *with room* (stable),
+                    # emulating sequential argmin-increment
+                    roomy = np.flatnonzero(room)
+                    order = roomy[np.argsort(sizes[roomy], kind="stable")]
+                    fb = np.flatnonzero(fallback)
+                    best[fb] = order[np.arange(fb.shape[0]) % order.shape[0]].astype(np.int32)
+
+                vset = cand
+                assign[vset] = best
+                sizes += np.bincount(best, minlength=k)
+
+                # streaming cut (batch-internal edges not visible — see docstring)
+                nv = np.zeros(b, np.int64)
+                np.add.at(nv, seg[valid], 1)
+                cut_count += int((nv - C[np.arange(b), best]).sum())
+
+                # ---- sub-partition pick
+                subs_nb = sub_assign[nb]
+                gvalid = valid & (subs_nb >= 0)
+                same = gvalid & (parts == best[seg])
+                chosen = np.full(b, -1, np.int64)
+                if same.any():
+                    keys = seg[same].astype(np.int64) * S + subs_nb[same]
+                    ukeys, ucnt = np.unique(keys, return_counts=True)
+                    useg = ukeys // S
+                    usub = ukeys % S
+                    has_room = sub_sizes[best[useg].astype(np.int64) * S + usub] < sub_thr
+                    ukeys, ucnt, useg, usub = (
+                        ukeys[has_room],
+                        ucnt[has_room],
+                        useg[has_room],
+                        usub[has_room],
+                    )
+                    if ukeys.shape[0]:
+                        # per-seg argmax count (ties → smallest sub id)
+                        o = np.lexsort((usub, -ucnt, useg))
+                        first = np.concatenate([[True], useg[o][1:] != useg[o][:-1]])
+                        chosen[useg[o][first]] = usub[o][first]
+                fb = np.flatnonzero(chosen < 0)
+                if fb.shape[0]:
+                    # per-partition water-fill over smallest subs
+                    for p in np.unique(best[fb]).tolist():
+                        rows_p = fb[best[fb] == p]
+                        ssz = sub_sizes[p * S : (p + 1) * S]
+                        m = rows_p.shape[0]
+                        if m < S:
+                            # partial selection of the m smallest subs (stable by
+                            # (size, index)), cheaper than a full 4096-sort
+                            part = np.argpartition(ssz, m)[: 2 * m if 2 * m < S else S]
+                            order = part[np.lexsort((part, ssz[part]))][:m]
+                            picks = order
+                        else:
+                            order = np.argsort(ssz, kind="stable")
+                            picks = np.tile(order, int(np.ceil(m / S)))[:m]
+                        chosen[rows_p] = picks
+                sub_assign[vset] = chosen.astype(np.int32)
+                np.add.at(sub_sizes, best.astype(np.int64) * S + chosen, 1)
+
+                # ---- evict from buffer + rescore buffered neighbors (θ/deg each)
+                buffered[vset] = False
+                buf_score[vset] = -np.inf
+                nb_buf = nb[buffered[nb]]
+                if nb_buf.shape[0]:
+                    np.add.at(buf_score, nb_buf, cfg.theta / deg[nb_buf])
+                n_buf -= b
+
+        # ---- drive: process the stream in segments bounded by
+        # cfg.max_buffer_size — when the buffered population would exceed the
+        # cap, drain everything buffered so far with RUNNING metrics at that
+        # stream position (the reference's forced mid-stream eviction,
+        # /root/reference/src/cuttana.rs:39-44 — batched here: one drain of
+        # the full buffer instead of one eviction per insert). With the
+        # default 1M cap and smaller graphs there are no mid-stream drains
+        # and the path is identical to a single end-of-stream drain.
+        low_stream = np.flatnonzero(~high)
+        hi_stream = np.flatnonzero(high)
+        cap = int(cfg.max_buffer_size) if cfg.max_buffer_size else 0
+        if cap and low_stream.shape[0] > cap:
+            boundaries = low_stream[cap::cap].tolist()
+        else:
+            boundaries = []
+        seg_start = 0
+        for b_pos in boundaries + [n_stream]:
+            for i in hi_stream[(hi_stream >= seg_start) & (hi_stream < b_pos)].tolist():
+                _assign_high(i)
+            lows = low_stream[(low_stream >= seg_start) & (low_stream < b_pos)]
+            buffered[vs[lows]] = True
+            _score_buffered(lows)
+            if b_pos < n_stream:
+                _drain(int(cum_v[b_pos - 1]), int(cum_e[b_pos - 1]))
             else:
-                cand = cand_idx
-                b = cand.shape[0]
-            rows = row_of[cand]
-            nb, seg, _ = _gather_flat(indptr, indices, rows)
-
-            parts = assign[nb]
-            valid = parts >= 0
-            C = np.zeros((b, k), np.int64)
-            np.add.at(C, (seg[valid], parts[valid]), 1)
-
-            cost = ag * sizes.astype(np.float64) ** (gamma - 1.0)
-            room = sizes < thr_v
-            if not room.any():
-                raise RuntimeError("Partition capacity exceeded.")
-            scores = np.where(room[None, :] & (C > 0), C - cost[None, :], -np.inf)
-            best = np.argmax(scores, axis=1).astype(np.int32)
-            row_max = scores[np.arange(b), best]
-            seed_cost = -cost[np.argmin(sizes)]
-            fallback = row_max < seed_cost  # no candidate beats the seed
-            if fallback.any():
-                # water-fill the smallest partitions *with room* (stable),
-                # emulating sequential argmin-increment
-                roomy = np.flatnonzero(room)
-                order = roomy[np.argsort(sizes[roomy], kind="stable")]
-                fb = np.flatnonzero(fallback)
-                best[fb] = order[np.arange(fb.shape[0]) % order.shape[0]].astype(np.int32)
-
-            vset = cand
-            assign[vset] = best
-            sizes += np.bincount(best, minlength=k)
-
-            # streaming cut (batch-internal edges not visible — see docstring)
-            nv = np.zeros(b, np.int64)
-            np.add.at(nv, seg[valid], 1)
-            cut_count += int((nv - C[np.arange(b), best]).sum())
-
-            # ---- sub-partition pick
-            subs_nb = sub_assign[nb]
-            gvalid = valid & (subs_nb >= 0)
-            same = gvalid & (parts == best[seg])
-            chosen = np.full(b, -1, np.int64)
-            if same.any():
-                keys = seg[same].astype(np.int64) * S + subs_nb[same]
-                ukeys, ucnt = np.unique(keys, return_counts=True)
-                useg = ukeys // S
-                usub = ukeys % S
-                has_room = sub_sizes[best[useg].astype(np.int64) * S + usub] < sub_thr
-                ukeys, ucnt, useg, usub = (
-                    ukeys[has_room],
-                    ucnt[has_room],
-                    useg[has_room],
-                    usub[has_room],
-                )
-                if ukeys.shape[0]:
-                    # per-seg argmax count (ties → smallest sub id)
-                    o = np.lexsort((usub, -ucnt, useg))
-                    first = np.concatenate([[True], useg[o][1:] != useg[o][:-1]])
-                    chosen[useg[o][first]] = usub[o][first]
-            fb = np.flatnonzero(chosen < 0)
-            if fb.shape[0]:
-                # per-partition water-fill over smallest subs
-                for p in np.unique(best[fb]).tolist():
-                    rows_p = fb[best[fb] == p]
-                    ssz = sub_sizes[p * S : (p + 1) * S]
-                    m = rows_p.shape[0]
-                    if m < S:
-                        # partial selection of the m smallest subs (stable by
-                        # (size, index)), cheaper than a full 4096-sort
-                        part = np.argpartition(ssz, m)[: 2 * m if 2 * m < S else S]
-                        order = part[np.lexsort((part, ssz[part]))][:m]
-                        picks = order
-                    else:
-                        order = np.argsort(ssz, kind="stable")
-                        picks = np.tile(order, int(np.ceil(m / S)))[:m]
-                    chosen[rows_p] = picks
-            sub_assign[vset] = chosen.astype(np.int32)
-            np.add.at(sub_sizes, best.astype(np.int64) * S + chosen, 1)
-
-            # ---- evict from buffer + rescore buffered neighbors (θ/deg each)
-            buffered[vset] = False
-            buf_score[vset] = -np.inf
-            nb_buf = nb[buffered[nb]]
-            if nb_buf.shape[0]:
-                np.add.at(buf_score, nb_buf, cfg.theta / deg[nb_buf])
-            n_buf -= b
+                _drain(vc_total, ec_total)
+            seg_start = b_pos
 
         # ---- exact sub↔sub edge rebuild from the final assignment
         # (neighbor-only vertices that never appeared as a stream source are
