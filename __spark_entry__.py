@@ -418,6 +418,47 @@ SELECT vertex, CAST(round(score * 1e12) AS BIGINT) AS score_e12 FROM r{iters}
     )
 
 
+def _q_walks_transcripts(spark, sf_dir):
+    """Deterministic random walks (DeepWalk-style corpus generation) from
+    every 200th vertex of the transcripts graph, 4 steps. Next hop =
+    nbrs[ md5-hash(walk_id|step) mod degree ] over sorted neighbors — the
+    oracle replays the identical recurrence in SQL."""
+    from cuttana_spark.analytics.walks import random_walks
+    from cuttana_spark.operators import edges as E
+
+    nodes, eids = E.transcript_edges(_transcripts(spark))
+    starts = (
+        nodes.filter(F.col("vid") % 200 == 0)
+        .select(F.col("vid").alias("walk_id"), F.col("vid").alias("vertex"))
+    )
+    return random_walks(spark, eids, starts, walk_length=4)
+
+
+def _walks_sql(walk_length: int = 4) -> str:
+    h = _H64.format(x="CAST(w.walk_id AS VARCHAR) || '|' || '{step}'")
+    parts = [_graph_ids_ctes(_transcript_edges_sql())]
+    parts.append(
+        """,
+adj AS MATERIALIZED (SELECT src AS vertex, list_sort(list(DISTINCT dst)) AS nbrs
+                     FROM sym GROUP BY src),
+w0 AS MATERIALIZED (SELECT vid AS walk_id, vid AS vertex FROM nk WHERE vid % 200 = 0)"""
+    )
+    for step in range(1, walk_length + 1):
+        hs = h.format(step=step)
+        parts.append(
+            f""",
+w{step} AS MATERIALIZED (
+  SELECT w.walk_id,
+         list_extract(a.nbrs, CAST(({hs}) % len(a.nbrs) AS INT) + 1) AS vertex
+  FROM w{step - 1} w JOIN adj a ON a.vertex = w.vertex
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT walk_id, {s} AS step, vertex FROM w{s}" for s in range(walk_length + 1)
+    )
+    return "WITH " + "".join(parts) + f"\n{selects}\n"
+
+
 def _q_pagerank_csr_transcripts(spark, sf_dir):
     """CSR-block PageRank over Cuttana partitions. Oracled: the converged
     scores are partition-independent, so 3 unrolled relational PR supersteps
@@ -1555,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_topk": _q_degree_topk,
         "pagerank5_events": _q_pagerank5_events,
         "ppr_events": _q_ppr_events,
+        "walks_transcripts": _q_walks_transcripts,
         "triangles_transcripts": _q_triangles_transcripts,
         "cc_transcripts": _q_cc_transcripts,
         "lpa_events": _q_lpa_events,
@@ -1608,6 +1650,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_topk": _ORACLE_DEGREE_TOPK,
         "pagerank5_events": _PAGERANK5_SQL,
         "ppr_events": _ppr_sql(),
+        "walks_transcripts": _walks_sql(),
         "triangles_transcripts": _TRIANGLES_SQL,
         "cc_transcripts": _cc_sql(),
         "lpa_events": _lpa_sql(),

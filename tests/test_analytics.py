@@ -263,3 +263,40 @@ def test_pagerank_csr_multichunk_blocks(spark, G, edges_df, monkeypatch):
     assert set(a) == set(b)
     for v in a:
         assert b[v] == pytest.approx(a[v], abs=1e-12)
+
+
+def test_random_walks_deterministic_replay(spark, G, edges_df):
+    """Walks replay exactly in pure Python: next = sorted_nbrs[H(walk|step)
+    % degree] with the portable md5-prefix hash; rerunning gives identical
+    output (deterministic corpus generation)."""
+    import hashlib
+
+    from cuttana_spark.analytics.walks import random_walks
+
+    starts = spark.createDataFrame(
+        [(v, v) for v in sorted(G.nodes())[:10]], "walk_id long, vertex long"
+    )
+    out1 = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in random_walks(spark, edges_df, starts, walk_length=3).collect()
+    )
+    out2 = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in random_walks(spark, edges_df, starts, walk_length=3).collect()
+    )
+    assert out1 == out2
+
+    def h64(x: str) -> int:
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    want = []
+    for w in sorted(G.nodes())[:10]:
+        v = w
+        want.append((w, 0, v))
+        for step in range(1, 4):
+            nbrs = sorted(G.neighbors(v))
+            if not nbrs:
+                break
+            v = nbrs[h64(f"{w}|{step}") % len(nbrs)]
+            want.append((w, step, v))
+    assert out1 == sorted(want)
