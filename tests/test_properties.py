@@ -78,3 +78,54 @@ def test_lpa_oracle_total(labels_texts):
     out = label_propagation_oracle(adj, max_iter=3)
     assert set(out) == set(adj)
     assert all(lb in adj for lb in out.values())
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized oracle: asof_join over seeded random (key, ts) data equals
+    pandas.merge_asof(by=key, direction='backward') exactly — including
+    duplicate left timestamps and keys missing from the right side."""
+    import numpy as np
+    import pandas as pd
+
+    from cuttana_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(11)
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 6, 300),
+            "ts": rng.randint(0, 1000, 300),
+            "lid": np.arange(300),
+        }
+    )
+    # unique (k, ts) on the right — the operator's determinism contract
+    right_pd = (
+        pd.DataFrame(
+            {
+                "k": rng.randint(0, 5, 120),  # key 5 never on the right
+                "ts": rng.randint(0, 1000, 120),
+                "px": rng.randn(120).round(6),
+            }
+        )
+        .drop_duplicates(["k", "ts"])
+        .reset_index(drop=True)
+    )
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    got = (
+        asof_join(left, right, on="ts", by="k", right_cols=["px"])
+        .orderBy("lid")
+        .toPandas()
+    )
+
+    want = pd.merge_asof(
+        left_pd.sort_values("ts", kind="stable"),
+        right_pd.sort_values("ts", kind="stable"),
+        on="ts",
+        by="k",
+        direction="backward",
+    ).sort_values("lid")
+    got_px = got.sort_values("lid")["px_asof"].to_numpy()
+    want_px = want["px"].to_numpy()
+    both_nan = np.isnan(got_px) & np.isnan(want_px)
+    assert (both_nan | (got_px == want_px)).all()
