@@ -129,6 +129,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int = 10_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """All near-dup pairs by exact n-gram Jaccard via inverted shingle index.
 
@@ -140,14 +141,23 @@ def ngram_jaccard_pairs(
     pair. Semantics: a pair is missed only if it shares *no* shingle with
     df <= cap — near-dups always share many rare shingles, and any fixture
     with max df below the cap is bit-identical to the uncapped result.
+
+    Pass ``stats={}`` to have the number of dropped hot shingles counted
+    EAGERLY into ``stats["n_hot_shingles"]`` (one extra count job) — corpus-
+    scale callers can detect when the df-cap approximation is active instead
+    of getting silently reduced recall. When 0, the result is bit-identical
+    to the uncapped computation.
     """
     sh = shingles(df, text_col, n=shingle_n).cache()
-    hot = F.broadcast(
+    hot_df = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_count"))
         .filter(F.col("df_count") > max_shingle_df)
         .select("shingle")
     )
+    if stats is not None:
+        stats["n_hot_shingles"] = hot_df.count()
+    hot = F.broadcast(hot_df)
     idx = sh.join(hot, "shingle", "left_anti")
     cand = (
         idx.alias("x")

@@ -30,10 +30,20 @@ def train_centroids(
     and limit() collapses to one partition. The ~4x-oversampled filtered set
     is collected (bounded), sorted by vec_id for determinism, and subsampled
     with the seeded RNG."""
+    import math
+
     total = df.count()
-    mod = max(1, total // (sample * 4))
-    cand = df.select("vec_id", "embedding").filter(
-        F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0
+    # ceil, not floor: floor made mod too small whenever the division rounded
+    # down (any corpus below 8x sample collected EVERYTHING), breaking the
+    # bounded-collect rationale. With ceil the expected candidate count is
+    # <= sample*4 for every corpus size; the limit() is a hard safety valve
+    # against pathological id distributions (it binds only beyond 16x the
+    # expectation, where determinism of the sample no longer matters).
+    mod = max(1, math.ceil(total / (sample * 4)))
+    cand = (
+        df.select("vec_id", "embedding")
+        .filter(F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0)
+        .limit(sample * 16)
     )
     rows = sorted(cand.collect(), key=lambda r: r.vec_id)
     if len(rows) > sample:

@@ -67,23 +67,45 @@ def brute_force_topk(
     )
 
 
-def brute_force_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int = 10) -> DataFrame:
+# query-chunk width inside the GEMM kernel: bounds the dense sims matrix at
+# (_GEMM_Q_CHUNK x partition_rows) regardless of how many queries were shipped
+_GEMM_Q_CHUNK = 4096
+
+
+def brute_force_topk_gemm(
+    queries: DataFrame, corpus: DataFrame, k: int = 10, max_queries: int = 100_000
+) -> DataFrame:
     """Exact cosine top-k via per-partition numpy GEMM — the fast exact
     baseline / recall referee.
 
-    The (small) query matrix is collected once and shipped in the UDF
-    closure (broadcast); each corpus partition computes a dense
-    queries x partition similarity matrix with one matmul and emits only its
-    LOCAL top-k per query (k rows per query per partition), so the final
-    exact re-rank sees nq*k*num_partitions rows instead of nq*|corpus|.
-    ~100x faster than the zip_with/aggregate pair loop (which remains the
-    pure-JVM, oracle-checkable reference implementation)."""
+    The query matrix is collected once and shipped in the UDF closure
+    (broadcast); each corpus partition computes queries x partition
+    similarity in CHUNKS of <=4096 query rows (bounding the dense sims
+    matrix at 4096 x partition regardless of nq) and emits only its LOCAL
+    top-k per query (k rows per query per partition), so the final exact
+    re-rank sees nq*k*num_partitions rows instead of nq*|corpus|.
+
+    The driver collect is HARD-CAPPED at `max_queries` (default 100k ≈ 100 MB
+    at dim=128): this operator is the exact referee for query sets that fit
+    on the driver — for larger query sets use lsh_topk_gemm / ivf_topk_gemm,
+    whose query side stays distributed. ~100x faster than the
+    zip_with/aggregate pair loop (which remains the pure-JVM,
+    oracle-checkable reference implementation)."""
     import pandas as pd
 
+    nq_total = queries.count()
+    if nq_total > max_queries:
+        raise ValueError(
+            f"brute_force_topk_gemm collects the query set to the driver; got "
+            f"{nq_total} queries > max_queries={max_queries}. Use lsh_topk_gemm "
+            f"or ivf_topk_gemm for distributed query sides, or raise max_queries "
+            f"explicitly if the driver can hold it."
+        )
     qrows = queries.select("vec_id", "embedding").collect()
     qids = np.array([r.vec_id for r in qrows], np.int64)
     Q = np.array([list(r.embedding) for r in qrows], np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    Q_CHUNK = _GEMM_Q_CHUNK
 
     def part(batches):
         for pdf in batches:
@@ -92,19 +114,22 @@ def brute_force_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int = 10) ->
             ids = pdf["vec_id"].to_numpy(np.int64)
             C = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-            sims = Qn @ Cn.T  # (nq, nc)
-            # exclude self-matches
-            self_mask = qids[:, None] == ids[None, :]
-            sims[self_mask] = -np.inf
-            kk = min(k, sims.shape[1])
-            top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
-            rows_q = np.repeat(qids, kk)
-            rows_m = ids[top.reshape(-1)]
-            rows_c = np.take_along_axis(sims, top, axis=1).reshape(-1)
-            keep = np.isfinite(rows_c)
-            yield pd.DataFrame(
-                {"query_id": rows_q[keep], "match_id": rows_m[keep], "cosine": rows_c[keep]}
-            )
+            for q0 in range(0, Qn.shape[0], Q_CHUNK):
+                Qc = Qn[q0 : q0 + Q_CHUNK]
+                qid_c = qids[q0 : q0 + Q_CHUNK]
+                sims = Qc @ Cn.T  # (<=Q_CHUNK, nc)
+                # exclude self-matches
+                self_mask = qid_c[:, None] == ids[None, :]
+                sims[self_mask] = -np.inf
+                kk = min(k, sims.shape[1])
+                top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+                rows_q = np.repeat(qid_c, kk)
+                rows_m = ids[top.reshape(-1)]
+                rows_c = np.take_along_axis(sims, top, axis=1).reshape(-1)
+                keep = np.isfinite(rows_c)
+                yield pd.DataFrame(
+                    {"query_id": rows_q[keep], "match_id": rows_m[keep], "cosine": rows_c[keep]}
+                )
 
     partials = corpus.select("vec_id", "embedding").mapInPandas(
         part, "query_id long, match_id long, cosine double"

@@ -12,6 +12,15 @@ session boundaries via cumsum over the gap mask — no per-row Python.
 Equivalence contract (tested): the stream's closed sessions equal the batch
 sessionization (operators-style window + running sum) minus each user's
 final — still open — session.
+
+Late-data approximation (same contract as streaming/edge_stream.py): rows
+arriving with ts at or before the stored per-user high-water mark (last_ts)
+are folded into the CURRENT open session — their gap to last_ts is <= 0, so
+they never split a session retroactively, and last_ts itself only advances
+(never regresses on a fully-late micro-batch). Exact cross-batch aggregation
+holds for in-order arrival; under late arrival counts/sums are still exact,
+only the session BOUNDARY assignment of late rows is approximate (bounded
+state, no retraction — the standard streaming trade-off).
 """
 
 from __future__ import annotations
@@ -71,7 +80,12 @@ def _sessions(
             closed_rows.append((uid, *open_sess))
         open_sess = (float(starts[s - 1]), int(n_per[s]), int(sum_per[s]))
 
-    state.update((float(ts[-1]), open_sess[0], int(open_sess[1]), int(open_sess[2])))
+    # Clamp last_ts FORWARD only (like edge_stream._transitions): if the whole
+    # micro-batch is late (ts[-1] < stored last_ts), the stored high-water mark
+    # must not regress, or the next batch would measure gaps against a stale
+    # earlier timestamp and split the open session spuriously.
+    new_last = float(ts[-1]) if last_ts is None else float(max(ts[-1], float(last_ts)))
+    state.update((new_last, open_sess[0], int(open_sess[1]), int(open_sess[2])))
     yield pd.DataFrame(
         closed_rows, columns=["user_id", "session_start", "n_events", "sum_value_e6"]
     )

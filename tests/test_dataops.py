@@ -319,3 +319,86 @@ def test_asof_join_crafted(spark):
     assert out[(1, 20)] == 100.0
     assert out[(1, 35)] == 300.0
     assert out[(2, 5)] is None  # right row is in the future
+
+
+def test_asof_join_bucketed_equals_plain_under_skew(spark):
+    """asof_join_bucketed must agree row-for-row with asof_join on a
+    90%-hot-key fixture (unique right ts per key), including the
+    no-earlier-right-row null case and cross-bucket carry-over."""
+    import numpy as np
+
+    from cuttana_spark.operators.asof import asof_join, asof_join_bucketed
+
+    rng = np.random.default_rng(7)
+    n_left, n_right = 2000, 400
+    # one hot key (0) owns 90% of rows; keys 1..9 share the rest
+    lk = np.where(rng.random(n_left) < 0.9, 0, rng.integers(1, 10, n_left))
+    rk = np.where(rng.random(n_right) < 0.9, 0, rng.integers(1, 10, n_right))
+    lts = rng.integers(0, 100_000, n_left)
+    # unique right ts per key -> both implementations are deterministic
+    rts = np.arange(n_right) * 37 + rk  # strictly increasing per key
+    left = spark.createDataFrame(
+        [(int(i), int(k), int(t)) for i, (k, t) in enumerate(zip(lk, lts))],
+        "lid long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(int(k), int(t), float(t) * 1.5) for k, t in zip(rk, rts)],
+        "k long, ts long, px double",
+    )
+    plain = {
+        (r.lid): r.px_asof for r in asof_join(left, right, on="ts", by="k").collect()
+    }
+    bucketed = {
+        (r.lid): r.px_asof
+        for r in asof_join_bucketed(
+            left, right, on="ts", by="k", n_buckets=16
+        ).collect()
+    }
+    assert bucketed == plain
+    # explicit width + no-by (single global key) path
+    g = {
+        r.lid: r.px_asof
+        for r in asof_join_bucketed(
+            left.drop("k"), right.drop("k"), on="ts", bucket_width=1000.0
+        ).collect()
+    }
+    g_plain = {
+        r.lid: r.px_asof for r in asof_join(left.drop("k"), right.drop("k"), on="ts").collect()
+    }
+    assert g == g_plain
+
+
+def test_ngram_jaccard_stats_reports_hot_shingles(spark):
+    """stats={} surfaces how many shingles the df-cap dropped (0 when the
+    approximation is inactive)."""
+    rows = [
+        (1, "the quick fox alpha beta gamma"),
+        (2, "the quick fox alpha beta delta"),
+        (3, "the quick fox zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {}
+    D.ngram_jaccard_pairs(df, threshold=0.0, max_shingle_df=2, stats=stats).collect()
+    assert stats["n_hot_shingles"] >= 1  # 'the quick fox' df=3 > 2
+    stats2 = {}
+    D.ngram_jaccard_pairs(df, threshold=0.0, max_shingle_df=10_000, stats=stats2).collect()
+    assert stats2["n_hot_shingles"] == 0
+
+
+def test_brute_force_gemm_query_cap_and_chunking(spark, emb, monkeypatch):
+    """The driver collect is hard-capped (clear error beyond max_queries) and
+    the in-kernel query chunking is exact (tiny chunk width == one-shot)."""
+    from cuttana_spark.operators import similarity as sim
+
+    sub = emb.limit(60).cache()
+    with pytest.raises(ValueError, match="max_queries"):
+        sim.brute_force_topk_gemm(sub, sub, k=3, max_queries=10)
+
+    def norm(df):
+        return sorted(
+            (r.query_id, r.rank, r.match_id, round(r.cosine, 9)) for r in df.collect()
+        )
+
+    want = norm(sim.brute_force_topk_gemm(sub, sub, k=3))
+    monkeypatch.setattr(sim, "_GEMM_Q_CHUNK", 7)
+    assert norm(sim.brute_force_topk_gemm(sub, sub, k=3)) == want

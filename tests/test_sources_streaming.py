@@ -207,6 +207,60 @@ def test_streaming_sessions_cross_batch(spark, tmp_path):
     assert GAP_SEC == 1800.0
 
 
+def test_streaming_sessions_fully_late_batch_keeps_watermark(spark):
+    """A micro-batch whose rows are ALL older than the stored last_ts must not
+    regress the high-water mark: the late rows fold into the open session and
+    a subsequent in-order batch still measures its gap from the true max ts
+    (no spurious session split). Unit-level: drive _sessions with a fake
+    GroupState."""
+    import pandas as pd
+
+    from cuttana_spark.streaming.sessions import GAP_SEC, _sessions
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    t0 = 1_700_000_000.0
+    mk = lambda specs: pd.DataFrame(
+        {
+            "event_id": [i for i, _ in enumerate(specs)],
+            "ts": pd.to_datetime([t0 + s for s, _ in specs], unit="s"),
+            "user_id": [7] * len(specs),
+            "event_type": ["click"] * len(specs),
+            "value": [v for _, v in specs],
+            "props": [""] * len(specs),
+        }
+    )
+    st = FakeState()
+    run = lambda specs: pd.concat(list(_sessions((7,), iter([mk(specs)]), st)))
+
+    out1 = run([(0.0, 1.0), (200.0, 2.0)])
+    assert len(out1) == 0 and st.get[0] == t0 + 200.0
+    # fully-late batch: ts 150 < stored last_ts 200 -> watermark must HOLD
+    out2 = run([(150.0, 4.0)])
+    assert len(out2) == 0
+    assert st.get[0] == t0 + 200.0  # did not regress
+    # in-order continuation within GAP_SEC of the TRUE max: same session
+    out3 = run([(200.0 + GAP_SEC - 1, 8.0)])
+    assert len(out3) == 0  # still open, no spurious split
+    # far-future event closes the one session with all four rows aggregated
+    out4 = run([(200.0 + 3 * GAP_SEC, 16.0)])
+    assert len(out4) == 1
+    r = out4.iloc[0]
+    assert r.n_events == 4 and r.sum_value_e6 == int((1 + 2 + 4 + 8) * 1e6)
+    assert r.session_start == t0
+
+
 def test_streaming_sessions_bulk_matches_numpy_oracle(spark, sf_dir, tmp_path):
     """All closed sessions over the sf0.001 events table match a pure-numpy
     sessionizer with identical semantics (per user: sort by ts/event_id,
