@@ -349,27 +349,49 @@ def _q_lpa_events(spark, sf_dir):
 
 
 def _q_partition_transcripts(spark, sf_dir):
-    """Cuttana partitioning metrics on the transcripts graph, k=16
-    (rows-only; golden-band checks live in tests/test_partition.py)."""
+    """Cuttana partitioning on the transcripts graph, k=16 — driver-VERIFIED
+    invariants (was rows-only until round 3). The oracle recomputes
+    n_vertices / n_edges_directed from the same edge derivation in SQL, and
+    the contract flags assert what the oracle cannot recompute:
+      complete    — every vertex assigned exactly once to a valid partition;
+      balance_ok  — max/avg partition size <= 1 + balance_slack (1.05);
+      cut_ok      — streaming edge-cut ratio <= 0.20 (golden value on
+                    transcripts graphs is ~0.09-0.10, BASELINE.md; the 2x
+                    band fails only on a real quality regression, not on
+                    sf/fixture drift).
+    Exact golden-band checks (±10%) stay in tests/test_partition.py."""
     from cuttana_spark.operators import edges as E
     from cuttana_spark.partition import cuttana_partition_df
 
     nodes, eids = E.transcript_edges(_transcripts(spark))
     adj = E.adjacency(eids)
     res = cuttana_partition_df(adj, 16)
-    return spark.createDataFrame(
-        [
-            (
-                int(res.vertex_count),
-                int(res.edge_count),
-                float(res.edge_cut_ratio),
-                float(res.communication_volume),
-                float(res.balance),
-            )
-        ],
-        "vertex_count long, edge_count long, edge_cut_ratio double, "
-        "communication_volume double, balance double",
+    k = res.num_partitions
+    complete = int(
+        len(res.vertices) == res.vertex_count
+        and int(res.partition_sizes.sum()) == res.vertex_count
+        and bool((res.partitions >= 0).all())
+        and bool((res.partitions < k).all())
     )
+    balance_ok = int(res.balance <= 1.05 + 1e-9)
+    cut_ok = int(res.edge_cut_ratio <= 0.20)
+    return spark.createDataFrame(
+        [(int(res.vertex_count), int(res.edge_count), complete, balance_ok, cut_ok)],
+        "n_vertices long, n_edges_directed long, complete long, "
+        "balance_ok long, cut_ok long",
+    )
+
+
+_PARTITION_SQL = f"""
+WITH e AS ({_transcript_edges_sql()}),
+verts AS (SELECT src_key AS v FROM e UNION SELECT dst_key FROM e)
+SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(2 * (SELECT count(*) FROM e) AS BIGINT) AS n_edges_directed,
+       CAST(1 AS BIGINT) AS complete,
+       CAST(1 AS BIGINT) AS balance_ok,
+       CAST(1 AS BIGINT) AS cut_ok
+FROM verts
+"""
 
 
 def _q_ppr_events(spark, sf_dir):
@@ -989,13 +1011,49 @@ FROM ranked WHERE rank <= 5
 
 
 def _q_ivf_ann(spark, sf_dir):
-    """IVF-cell ANN (rows-only: k-means quantizer not SQL-expressible;
-    recall vs brute force asserted in tests)."""
+    """Probed IVF ANN (nprobe < n_cells) — driver-VERIFIED recall gate (was
+    rows-only until round 3). The k-means quantizer is not SQL-expressible,
+    so the oracle verifies n_queries from the subset filter plus contract
+    flags computed IN-PLAN against the exact JVM brute-force referee:
+      rows_ok      — exactly k results per query (probed cells held >= k
+                     candidates for every query);
+      recall_ge_50 — recall@5 of the 3-of-8-cell probe vs exact >= 0.50.
+    Measured recall on the sf0.01 near-random embeddings is ~0.68 (indexes
+    cannot beat that plateau on uniform vectors — BENCH.md); a broken
+    quantizer or probe path collapses recall to ~k/|corpus| ≈ 0.01, so the
+    0.50 floor is a structural gate, not a tuned constant. The exhaustive
+    equality check (nprobe = n_cells == brute force) is `ivf_ann_full`."""
     from cuttana_spark.operators.ivf import ivf_topk
+    from cuttana_spark.operators.similarity import brute_force_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.filter(_EMB_SUBSET)
-    return ivf_topk(q, emb, n_cells=8, nprobe=3, k=5)
+    approx = ivf_topk(q, emb, n_cells=8, nprobe=3, k=5)
+    exact = brute_force_topk(q, emb, k=5)
+    hits = approx.select("query_id", "match_id").join(
+        exact.select("query_id", "match_id"), ["query_id", "match_id"]
+    ).agg(F.count(F.lit(1)).alias("hits"))
+    stats = approx.agg(
+        F.countDistinct("query_id").alias("nq"), F.count(F.lit(1)).alias("n_rows")
+    )
+    ex = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        stats.crossJoin(ex)
+        .crossJoin(hits)
+        .select(
+            F.col("nq").cast("long").alias("n_queries"),
+            (F.col("n_rows") == F.col("nq") * 5).cast("long").alias("rows_ok"),
+            (F.col("hits") / F.col("n_exact") >= 0.5).cast("long").alias("recall_ge_50"),
+        )
+    )
+
+
+_IVF_ANN_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(1 AS BIGINT) AS rows_ok,
+       CAST(1 AS BIGINT) AS recall_ge_50
+FROM embeddings WHERE {_EMB_SUBSET}
+"""
 
 
 def _q_ivf_ann_full(spark, sf_dir):
@@ -1689,8 +1747,10 @@ def oracle_sql() -> dict[str, str]:
         "window_funcs": _WINDOW_FUNCS_SQL,
         "sketch_check": _SKETCH_SQL,
         "degree_histogram": _DEGREE_HIST_SQL_TMPL.format(edges=_transcript_edges_sql()),
-        # cc_transcripts, lpa_events, partition_transcripts,
-        # pagerank_csr_transcripts, lsh_ann, multimodal_features: rows-only
+        "partition_transcripts": _PARTITION_SQL,
+        "ivf_ann": _IVF_ANN_SQL,
+        # multimodal_features: rows-only (codecs are env-blocked in this
+        # sandbox; the plumbing is exercised via the fake=True path)
     }
 
 
