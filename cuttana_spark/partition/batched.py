@@ -376,10 +376,20 @@ def cuttana_partition_df_batched(
     batch_size: int = 1024,
     streaming: bool = False,
 ) -> PartitionResult:
-    """Batched partitioning of a Spark adjacency DataFrame."""
-    from cuttana_spark.partition.core import iter_adjacency_batches
+    """Batched partitioning of a Spark adjacency DataFrame (plain or
+    hub-chunked — a `chunk` column triggers sorted-merge ingest)."""
+    from cuttana_spark.partition.core import (
+        iter_adjacency_batches,
+        iter_merged_adjacency_batches,
+        prepare_chunked_adjacency,
+    )
 
+    adj_df, chunked = prepare_chunked_adjacency(adj_df)
+    it = (iter_merged_adjacency_batches if chunked else iter_adjacency_batches)(
+        adj_df, streaming=streaming
+    )
     p = BatchedCuttanaPartitioner(num_partitions, config, batch_size)
-    for src, offsets, values in iter_adjacency_batches(adj_df, streaming=streaming):
+    for src, offsets, values in it:
+        offsets = np.asarray(offsets, np.int64)
         p.add_batch(src, offsets, values)
     return p.finish()

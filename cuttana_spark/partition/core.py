@@ -470,16 +470,71 @@ def iter_adjacency_batches(adj_df, streaming: bool = False) -> Iterator[tuple[np
         )
 
 
+def prepare_chunked_adjacency(adj_df):
+    """If the adjacency is hub-chunked (edges.adjacency(max_nbrs_per_row=…)
+    added a `chunk` column), order it so all chunk rows of one vertex arrive
+    contiguously at the driver: one range shuffle on src, rows sorted
+    (src, chunk) within partitions, partitions fetched in range order.
+    Returns (df, merged_flag)."""
+    if "chunk" in adj_df.columns:
+        return (
+            adj_df.repartitionByRange("src").sortWithinPartitions("src", "chunk"),
+            True,
+        )
+    return adj_df, False
+
+
+def iter_merged_adjacency_batches(adj_df, streaming: bool = False) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """iter_adjacency_batches + merging of CONSECUTIVE rows with equal src —
+    the stream-side reassembly of hub-chunked adjacency. A vertex split into
+    chunk rows is one logical add() (one vertex_count increment, the full
+    neighbor list), exactly as if collect_list had produced a single row; the
+    held-back tail run carries across Arrow batch boundaries. Requires input
+    sorted by (src, chunk) — see prepare_chunked_adjacency."""
+    pend: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+    for src, offsets, values in iter_adjacency_batches(adj_df, streaming=streaming):
+        lens = np.diff(offsets)
+        if pend is not None:
+            src = np.concatenate([pend[0], src])
+            lens = np.concatenate([pend[1], lens])
+            values = np.concatenate([pend[2], values])
+            pend = None
+        if src.shape[0] == 0:
+            continue
+        new_run = np.concatenate([[True], src[1:] != src[:-1]])
+        run_id = np.cumsum(new_run) - 1
+        m_src = src[new_run]
+        m_lens = np.bincount(run_id, weights=lens).astype(np.int64)
+        if m_src.shape[0] > 1:
+            cut = int(m_lens[:-1].sum())
+            out_off = np.concatenate([[0], np.cumsum(m_lens[:-1])]).astype(np.int64)
+            yield m_src[:-1], out_off, values[:cut]
+            pend = (m_src[-1:], m_lens[-1:], values[cut:])
+        else:
+            pend = (m_src, m_lens, values)
+    if pend is not None and pend[0].shape[0]:
+        yield (
+            pend[0],
+            np.array([0, pend[1][0]], np.int64),
+            pend[2],
+        )
+
+
 def cuttana_partition_df(
     adj_df,
     num_partitions: int,
     config: CuttanaConfig | None = None,
     streaming: bool = False,
 ) -> PartitionResult:
-    """Partition a Spark adjacency DataFrame[src: long, nbrs: array<long>]."""
+    """Partition a Spark adjacency DataFrame[src: long, nbrs: array<long>]
+    (plain or hub-chunked — a `chunk` column triggers sorted-merge ingest)."""
+    adj_df, chunked = prepare_chunked_adjacency(adj_df)
+    it = (iter_merged_adjacency_batches if chunked else iter_adjacency_batches)(
+        adj_df, streaming=streaming
+    )
     p = CuttanaPartitioner(num_partitions, config)
     add = p.add
-    for src, offsets, values in iter_adjacency_batches(adj_df, streaming=streaming):
+    for src, offsets, values in it:
         src_l = src.tolist()
         vals_l = values.tolist()
         offs = offsets.tolist()

@@ -39,3 +39,107 @@ def test_top_hubs(spark):
     edges = spark.createDataFrame(rows, "src long, dst long, weight double")
     hubs = {r.vertex for r in K.top_hubs(edges, threshold=100).collect()}
     assert hubs == {0}
+
+
+def _hub_edges(spark, hub_deg=5000, tail=200):
+    """Star: vertex 0 connects to 1..hub_deg, plus a small tail ring so the
+    graph isn't a pure star."""
+    rows = [(0, i, 1) for i in range(1, hub_deg + 1)]
+    rows += [(i, i + 1, 1) for i in range(1, tail)]
+    return spark.createDataFrame(rows, "src long, dst long, weight long")
+
+
+def test_adjacency_hub_chunking_bounds_row_size(spark):
+    """adjacency(max_nbrs_per_row=cap) splits the hub into ~deg/cap hash
+    chunks — no single giant row — while the neighbor multiset per vertex is
+    exactly the unchunked one."""
+    from cuttana_spark.operators import edges as E
+
+    cap = 512
+    edges = _hub_edges(spark)
+    chunked = E.adjacency(edges, max_nbrs_per_row=cap)
+    sizes = chunked.agg(
+        F.max(F.size("nbrs")).alias("mx"), F.count(F.lit(1)).alias("rows")
+    ).first()
+    assert sizes.mx <= 2 * cap  # hash-balanced, never the whole 5000-degree hub
+    assert sizes.rows > 5000 // cap  # hub actually split
+    # multiset equality per vertex
+    plain = {
+        r.src: sorted(r.nbrs) for r in E.adjacency(edges).collect()
+    }
+    merged: dict[int, list] = {}
+    for r in chunked.collect():
+        merged.setdefault(r.src, []).extend(r.nbrs)
+    assert {k: sorted(v) for k, v in merged.items()} == plain
+
+
+def test_partitioner_ingest_merges_chunked_adjacency(spark):
+    """Batched partitioning over hub-chunked adjacency equals partitioning
+    over the plain adjacency fed in the same (sorted-by-src) stream order:
+    the chunk merge reassembles each vertex into ONE logical add()."""
+    from cuttana_spark.operators import edges as E
+    from cuttana_spark.partition.batched import cuttana_partition_df_batched
+
+    edges = _hub_edges(spark, hub_deg=3000, tail=400)
+    plain_sorted = (
+        E.adjacency(edges).repartitionByRange("src").sortWithinPartitions("src")
+    )
+    r_plain = cuttana_partition_df_batched(plain_sorted, 4)
+    r_chunk = cuttana_partition_df_batched(E.adjacency(edges, max_nbrs_per_row=256), 4)
+    assert r_plain.vertex_count == r_chunk.vertex_count
+    assert r_plain.edge_count == r_chunk.edge_count
+    a = dict(zip(r_plain.vertices.tolist(), r_plain.partitions.tolist()))
+    b = dict(zip(r_chunk.vertices.tolist(), r_chunk.partitions.tolist()))
+    assert a == b
+    assert r_plain.cut_count == r_chunk.cut_count
+
+
+def test_sequential_ingest_merges_chunked_adjacency(spark):
+    """Same reassembly contract for the sequential core."""
+    from cuttana_spark.operators import edges as E
+    from cuttana_spark.partition import cuttana_partition_df
+
+    edges = _hub_edges(spark, hub_deg=1500, tail=300)
+    plain_sorted = (
+        E.adjacency(edges).repartitionByRange("src").sortWithinPartitions("src")
+    )
+    r_plain = cuttana_partition_df(plain_sorted, 4)
+    r_chunk = cuttana_partition_df(E.adjacency(edges, max_nbrs_per_row=128), 4)
+    assert dict(zip(r_plain.vertices.tolist(), r_plain.partitions.tolist())) == dict(
+        zip(r_chunk.vertices.tolist(), r_chunk.partitions.tolist())
+    )
+
+
+def test_random_walks_hub_chunked(spark):
+    """Walks over a 5000-degree hub run with capped adjacency rows; below the
+    cap the chunked path is bit-identical to a cap covering the whole degree
+    (single chunk == legacy order)."""
+    from cuttana_spark.analytics.walks import random_walks, walk_adjacency
+
+    edges = _hub_edges(spark)
+    starts = spark.createDataFrame(
+        [(i, 0) for i in range(20)], "walk_id long, vertex long"
+    )
+    adj = walk_adjacency(edges, max_nbrs_per_row=512)
+    assert adj.agg(F.max(F.size("nbrs"))).first()[0] <= 2 * 512
+    walked = random_walks(spark, edges, starts, walk_length=3, max_nbrs_per_row=512)
+    rows = walked.collect()
+    # every walk completes (hub graph has no dead ends reachable in 3 steps
+    # from the hub): 20 walks x 4 steps
+    assert len(rows) == 20 * 4
+    # determinism
+    again = random_walks(spark, edges, starts, walk_length=3, max_nbrs_per_row=512)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    # validity: steps out of the hub land on true neighbors only
+    step1 = {r.vertex for r in rows if r.step == 1}
+    assert step1 <= set(range(1, 5001))
+    # chunk bookkeeping is a partition of the neighbor set: starts/lens tile
+    # [0, degree) exactly
+    hubrows = sorted(
+        (r._start, r._clen) for r in adj.filter(F.col("vertex") == 0).collect()
+    )
+    pos = 0
+    for start, clen in hubrows:
+        assert start == pos
+        pos += clen
+    assert pos == 5000
