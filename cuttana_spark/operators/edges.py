@@ -194,6 +194,34 @@ def adjacency(edges: DataFrame, max_nbrs_per_row: int | None = None) -> DataFram
     )
 
 
+def densify_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Distributed id densification — the scale companion to
+    partition.cuttana_partition_df_spill(dense_ids=True).
+
+    Returns (vertex_map, dense_edges): vertex_map(orig, vid) assigns dense
+    vids 0..n-1 by a distributed range sort + RDD zipWithIndex (two
+    distributed passes: per-partition counts, then offset per partition) —
+    NO single-partition window and no driver-side id table, unlike
+    node_ids(mode="sort"). dense_edges carries (src, dst[, weight]) remapped
+    through two shuffle joins on the vertex map."""
+    verts = (
+        edges.select(F.col("src").alias("orig"))
+        .union(edges.select(F.col("dst").alias("orig")))
+        .distinct()
+    )
+    rdd = verts.orderBy("orig").rdd.map(lambda r: r[0]).zipWithIndex()
+    vmap = rdd.map(lambda kv: (int(kv[0]), int(kv[1]))).toDF(["orig", "vid"])
+    extra = [c for c in edges.columns if c not in ("src", "dst")]
+    dense = (
+        edges.join(
+            vmap.select(F.col("orig").alias("src"), F.col("vid").alias("_s")), "src"
+        )
+        .join(vmap.select(F.col("orig").alias("dst"), F.col("vid").alias("_d")), "dst")
+        .select(F.col("_s").alias("src"), F.col("_d").alias("dst"), *extra)
+    )
+    return vmap, dense
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """(vertex, degree) from an undirected canonical edge table."""
     return (

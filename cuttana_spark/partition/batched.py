@@ -8,6 +8,28 @@ where virtually all assignment work happens at the default config
 buffered vertices per step against a state *snapshot*, with every inner step
 a numpy array operation. No per-vertex Python in the drain.
 
+Execution model (round 3): the stream is processed as DRAIN SEGMENTS — runs
+of consecutive stream rows holding exactly cfg.max_buffer_size low-degree
+vertices (the reference's forced mid-stream eviction trigger,
+/root/reference/src/cuttana.rs:39-44) — by a _SegmentedEngine whose
+persistent state is strictly O(V) per-vertex arrays; all O(E) adjacency data
+is only touched within the segment that carries it. Two feeders share the
+engine:
+
+  * in-memory (BatchedCuttanaPartitioner): the whole stream is resident, as
+    before — fastest at sandbox scale, identical numbers to round 2;
+  * out-of-core (cuttana_partition_df_spill): the adjacency is spooled to
+    parquet ONCE and streamed three times — (A) id densification, (B) the
+    segment loop, (C) the exact sub↔sub edge rebuild — so driver residency is
+    O(V) state + ONE segment of edges (~max_buffer_size x avg-low-degree +
+    the largest single neighbor list), independent of |E|. Segment
+    boundaries are identical to the in-memory feeder's, so both modes
+    produce BIT-IDENTICAL results (tested). This removes the O(V+E)
+    driver-RAM ceiling that was the round-2 100-TB blocker: 10^12 edges no
+    longer need ~8 TB of driver RAM, only the O(V) vertex state (~33 B/vertex
+    with pre-densified ids, ~41 B with the id-union pass) plus a bounded
+    segment.
+
 Exactness notes vs the sequential core:
   * insert score + incremental bumps telescope: score_at_drain =
     θ·(assigned_nbrs_now/deg) + deg/threshold exactly (each neighbor
@@ -54,7 +76,326 @@ def _gather_flat(indptr: np.ndarray, indices: np.ndarray, verts: np.ndarray):
     return indices[pos], seg, lens
 
 
+class _SegmentedEngine:
+    """Per-vertex O(V) partitioning state + the vectorized stream/drain
+    kernels, fed one drain segment at a time. A drain segment is a run of
+    stream rows holding exactly cfg.max_buffer_size low-degree vertices (the
+    final segment holds the remainder); the engine drains the whole buffer at
+    every segment end with running (vertex, edge) totals at that stream
+    position."""
+
+    def __init__(self, k: int, cfg: CuttanaConfig, batch_size: int, n: int):
+        self.k, self.cfg, self.batch_size = k, cfg, batch_size
+        self.S = cfg.num_sub_partitions
+        self.slack1 = cfg.phase1_slack
+        self.gamma = cfg.gamma
+        self.assign = np.full(n, -1, np.int32)
+        self.sub_assign = np.full(n, -1, np.int32)
+        self.sizes = np.zeros(k, np.int64)
+        self.sub_sizes = np.zeros(k * self.S, np.int64)
+        self.buffered = np.zeros(n, bool)
+        self.buf_score = np.full(n, -np.inf)
+        self.deg = np.zeros(n, np.int64)
+        self.row_of = np.full(n, -1, np.int64)
+        self.vc_done = 0
+        self.ec_done = 0
+        self.cut_count = 0
+        self.max_resident_edges = 0
+
+    # -- per-segment driver ---------------------------------------------------
+
+    def run_segment(self, vs: np.ndarray, lens: np.ndarray, indices: np.ndarray) -> None:
+        n_rows = vs.shape[0]
+        if n_rows == 0:
+            return
+        cfg = self.cfg
+        indptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        self.max_resident_edges = max(self.max_resident_edges, int(indices.shape[0]))
+        self.deg[vs] = lens
+        self.row_of[vs] = np.arange(n_rows)
+        high = lens >= cfg.buffer_degree_threshold
+        cum_v = self.vc_done + np.arange(1, n_rows + 1)
+        cum_e = self.ec_done + np.cumsum(lens)
+
+        for i in np.flatnonzero(high).tolist():
+            self._assign_high(i, vs, indices, indptr, int(cum_v[i]), int(cum_e[i]))
+
+        lows = np.flatnonzero(~high)
+        self.buffered[vs[lows]] = True
+        self._score_buffered(lows, vs, lens, indices, indptr)
+
+        self.vc_done = int(cum_v[-1])
+        self.ec_done = int(cum_e[-1])
+        self._drain(self.vc_done, self.ec_done, indices, indptr)
+
+    # -- stream phase: immediate partitioning of high-degree vertices with
+    # *running* metrics (they're rare; per-vertex numpy is fine) -------------
+
+    def _assign_high(self, i, vs, indices, indptr, vc, ec):
+        k, S, gamma = self.k, self.S, self.gamma
+        assign, sub_assign, sizes, sub_sizes = (
+            self.assign,
+            self.sub_assign,
+            self.sizes,
+            self.sub_sizes,
+        )
+        vi = vs[i]
+        ni = indices[indptr[i] : indptr[i + 1]]
+        thr = (1.0 + self.slack1) * vc / k
+        parts = assign[ni]
+        ap = parts[parts >= 0]
+        counts = np.bincount(ap, minlength=k)
+        ag = (k ** (gamma - 1.0) * vc / ec**gamma) * gamma if ec else 0.0
+        cost = ag * sizes.astype(np.float64) ** (gamma - 1.0)
+        room = sizes < thr
+        if not room.any():
+            raise RuntimeError("Partition capacity exceeded.")
+        scores = np.where(room & (counts > 0), counts - cost, -np.inf)
+        seed = int(np.argmin(sizes))
+        best = int(np.argmax(scores))
+        if scores[best] <= -cost[seed]:
+            best = seed
+        assign[vi] = best
+        sizes[best] += 1
+        self.cut_count += int(ap.shape[0] - counts[best])
+        # local pick for hubs: most-connected sub with room, else smallest
+        ssz = sub_sizes[best * S : (best + 1) * S]
+        subs = sub_assign[ni[(parts == best)]]
+        subs = subs[subs >= 0]
+        v_eff = vc // k
+        sub_thr = (1.0 + self.slack1) * v_eff / S
+        bs = -1
+        if subs.shape[0]:
+            sv, sc = np.unique(subs, return_counts=True)
+            okm = ssz[sv] < sub_thr
+            if okm.any():
+                bs = int(sv[okm][np.argmax(sc[okm])])
+        if bs < 0:
+            bs = int(np.argmin(ssz))
+        sub_assign[vi] = bs
+        ssz[bs] += 1
+
+    def _score_buffered(self, rows, vs, lens, indices, indptr):
+        """Exact drain-start scores for newly-buffered stream rows (the
+        telescoped formula — see module docstring)."""
+        if rows.shape[0] == 0:
+            return
+        cfg = self.cfg
+        bvs = vs[rows]
+        nb, seg, blens = _gather_flat(indptr, indices, rows)
+        assigned = (self.assign[nb] >= 0).astype(np.int64)
+        n_assigned = np.zeros(rows.shape[0], np.int64)
+        np.add.at(n_assigned, seg, assigned)
+        safe = np.maximum(blens, 1)
+        self.buf_score[bvs] = (
+            cfg.theta * (n_assigned / safe) + blens / cfg.buffer_degree_threshold
+        )
+
+    def _drain(self, vc_now: int, ec_now: int, indices, indptr) -> None:
+        k, S, cfg, gamma = self.k, self.S, self.cfg, self.gamma
+        assign, sub_assign, sizes, sub_sizes = (
+            self.assign,
+            self.sub_assign,
+            self.sizes,
+            self.sub_sizes,
+        )
+        buffered, buf_score, row_of, deg = (
+            self.buffered,
+            self.buf_score,
+            self.row_of,
+            self.deg,
+        )
+        thr_v = (1.0 + self.slack1) * vc_now / k
+        v_eff = vc_now // k
+        sub_thr = (1.0 + self.slack1) * v_eff / S
+        ag = (k ** (gamma - 1.0) * vc_now / ec_now**gamma) * gamma if ec_now else 0.0
+
+        n_buf = int(buffered.sum())
+        # adaptive batch: staleness is relative (B/n), so large graphs can
+        # take proportionally larger batches at equal quality
+        B = max(self.batch_size, n_buf // 128)
+        while n_buf > 0:
+            b = min(B, n_buf)
+            # select top-b among *buffered only* (argpartition over the
+            # compacted candidate set, not the full vertex range)
+            cand_idx = np.flatnonzero(buffered)
+            if b < cand_idx.shape[0]:
+                sub = np.argpartition(-buf_score[cand_idx], b - 1)[:b]
+                cand = cand_idx[sub]
+            else:
+                cand = cand_idx
+                b = cand.shape[0]
+            rows = row_of[cand]
+            nb, seg, _ = _gather_flat(indptr, indices, rows)
+
+            parts = assign[nb]
+            valid = parts >= 0
+            C = np.zeros((b, k), np.int64)
+            np.add.at(C, (seg[valid], parts[valid]), 1)
+
+            cost = ag * sizes.astype(np.float64) ** (gamma - 1.0)
+            room = sizes < thr_v
+            if not room.any():
+                raise RuntimeError("Partition capacity exceeded.")
+            scores = np.where(room[None, :] & (C > 0), C - cost[None, :], -np.inf)
+            best = np.argmax(scores, axis=1).astype(np.int32)
+            row_max = scores[np.arange(b), best]
+            seed_cost = -cost[np.argmin(sizes)]
+            fallback = row_max < seed_cost  # no candidate beats the seed
+            if fallback.any():
+                # water-fill the smallest partitions *with room* (stable),
+                # emulating sequential argmin-increment
+                roomy = np.flatnonzero(room)
+                order = roomy[np.argsort(sizes[roomy], kind="stable")]
+                fb = np.flatnonzero(fallback)
+                best[fb] = order[np.arange(fb.shape[0]) % order.shape[0]].astype(np.int32)
+
+            vset = cand
+            assign[vset] = best
+            sizes += np.bincount(best, minlength=k)
+
+            # streaming cut (batch-internal edges not visible — see docstring)
+            nv = np.zeros(b, np.int64)
+            np.add.at(nv, seg[valid], 1)
+            self.cut_count += int((nv - C[np.arange(b), best]).sum())
+
+            # ---- sub-partition pick
+            subs_nb = sub_assign[nb]
+            gvalid = valid & (subs_nb >= 0)
+            same = gvalid & (parts == best[seg])
+            chosen = np.full(b, -1, np.int64)
+            if same.any():
+                keys = seg[same].astype(np.int64) * S + subs_nb[same]
+                ukeys, ucnt = np.unique(keys, return_counts=True)
+                useg = ukeys // S
+                usub = ukeys % S
+                has_room = sub_sizes[best[useg].astype(np.int64) * S + usub] < sub_thr
+                ukeys, ucnt, useg, usub = (
+                    ukeys[has_room],
+                    ucnt[has_room],
+                    useg[has_room],
+                    usub[has_room],
+                )
+                if ukeys.shape[0]:
+                    # per-seg argmax count (ties → smallest sub id)
+                    o = np.lexsort((usub, -ucnt, useg))
+                    first = np.concatenate([[True], useg[o][1:] != useg[o][:-1]])
+                    chosen[useg[o][first]] = usub[o][first]
+            fb = np.flatnonzero(chosen < 0)
+            if fb.shape[0]:
+                # per-partition water-fill over smallest subs
+                for p in np.unique(best[fb]).tolist():
+                    rows_p = fb[best[fb] == p]
+                    ssz = sub_sizes[p * S : (p + 1) * S]
+                    m = rows_p.shape[0]
+                    if m < S:
+                        # partial selection of the m smallest subs (stable by
+                        # (size, index)), cheaper than a full 4096-sort
+                        part = np.argpartition(ssz, m)[: 2 * m if 2 * m < S else S]
+                        order = part[np.lexsort((part, ssz[part]))][:m]
+                        picks = order
+                    else:
+                        order = np.argsort(ssz, kind="stable")
+                        picks = np.tile(order, int(np.ceil(m / S)))[:m]
+                    chosen[rows_p] = picks
+            sub_assign[vset] = chosen.astype(np.int32)
+            np.add.at(sub_sizes, best.astype(np.int64) * S + chosen, 1)
+
+            # ---- evict from buffer + rescore buffered neighbors (θ/deg each)
+            buffered[vset] = False
+            buf_score[vset] = -np.inf
+            nb_buf = nb[buffered[nb]]
+            if nb_buf.shape[0]:
+                np.add.at(buf_score, nb_buf, cfg.theta / deg[nb_buf])
+            n_buf -= b
+
+    # -- finish ---------------------------------------------------------------
+
+    def refine_and_result(self, pair_keys: np.ndarray, pair_w: np.ndarray, vertices: np.ndarray) -> PartitionResult:
+        """Run refinement over the exact rebuilt sub↔sub edges and assemble
+        the result. `vertices[i]` is the original id of dense vertex i."""
+        k, S, cfg = self.k, self.S, self.cfg
+        refiner = run_refinement(
+            RefineInput(
+                k=k,
+                S=S,
+                vertex_count=self.vc_done,
+                balance_slack=cfg.balance_slack,
+                info_gain_threshold=cfg.info_gain_threshold,
+                sizes=self.sizes,
+                sub_size_flat=self.sub_sizes,
+                edge_src=(pair_keys // (k * S)).astype(np.int64),
+                edge_dst=(pair_keys % (k * S)).astype(np.int64),
+                edge_w=pair_w.astype(np.int64),
+            )
+        )
+        assign = self.assign
+        done = assign >= 0
+        gsub = assign[done].astype(np.int64) * S + self.sub_assign[done]
+        final_parts = refiner.parents[gsub].astype(np.int32)
+        return PartitionResult(
+            vertices=vertices[done],
+            partitions=final_parts,
+            sub_partitions=gsub.astype(np.int32),
+            partition_sizes=np.bincount(final_parts, minlength=k).astype(np.int64),
+            vertex_count=self.vc_done,
+            edge_count=self.ec_done,
+            cut_count=self.cut_count,
+            num_partitions=k,
+            moves=refiner.moves,
+        )
+
+
+def _iter_drain_segments(batches, cap: int, threshold: int):
+    """Cut a (vs, lens, values) batch stream into drain segments: each
+    yielded segment ends right before the row that would make it hold cap+1
+    low-degree vertices (matching the reference's max_buffer_size overflow
+    trigger position exactly); the final segment holds the remainder."""
+    parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    n_lows = 0
+
+    def assemble():
+        vs = np.concatenate([p[0] for p in parts])
+        lens = np.concatenate([p[1] for p in parts])
+        vals = np.concatenate([p[2] for p in parts])
+        return vs, lens, vals
+
+    for vs, lens, values in batches:
+        indptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        start = 0
+        low_pos = np.flatnonzero(lens < threshold)
+        taken_lows = 0  # lows of this batch already emitted/accumulated
+        while True:
+            quota = cap - n_lows
+            rest = low_pos[taken_lows:]
+            if cap > 0 and rest.shape[0] > quota:
+                cut = int(rest[quota])  # row index of the (cap+1)-th low
+                if cut > start:
+                    parts.append(
+                        (vs[start:cut], lens[start:cut], values[indptr[start] : indptr[cut]])
+                    )
+                if parts:
+                    yield assemble()
+                parts = []
+                n_lows = 0
+                taken_lows = int(np.searchsorted(low_pos, cut))  # lows before cut
+                start = cut
+            else:
+                if vs.shape[0] > start:
+                    parts.append(
+                        (vs[start:], lens[start:], values[indptr[start] :])
+                    )
+                n_lows += rest.shape[0]
+                break
+    if parts:
+        yield assemble()
+
+
 class BatchedCuttanaPartitioner:
+    """In-memory feeder: accumulate Arrow batches, densify once, run the
+    segmented engine over the resident stream (identical segment boundaries
+    to the spill feeder, so identical results — tested)."""
+
     def __init__(
         self,
         num_partitions: int,
@@ -63,10 +404,7 @@ class BatchedCuttanaPartitioner:
     ):
         self.k = num_partitions
         self.cfg = config or CuttanaConfig()
-        self.S = self.cfg.num_sub_partitions
-        self.slack1 = self.cfg.phase1_slack
         self.batch_size = batch_size
-        self.rng = np.random.default_rng(self.cfg.seed)
         self._src_chunks: list[np.ndarray] = []
         self._len_chunks: list[np.ndarray] = []
         self._val_chunks: list[np.ndarray] = []
@@ -81,7 +419,7 @@ class BatchedCuttanaPartitioner:
     # -- run ------------------------------------------------------------------
 
     def finish(self) -> PartitionResult:
-        k, S, cfg = self.k, self.S, self.cfg
+        k, cfg = self.k, self.cfg
         stream_src = np.concatenate(self._src_chunks) if self._src_chunks else np.empty(0, np.int64)
         lens = np.concatenate(self._len_chunks) if self._len_chunks else np.empty(0, np.int64)
         flat_vals = np.concatenate(self._val_chunks) if self._val_chunks else np.empty(0, np.int64)
@@ -94,263 +432,49 @@ class BatchedCuttanaPartitioner:
         n = uniq.shape[0]
         vs = np.searchsorted(uniq, stream_src)
         indices = np.searchsorted(uniq, flat_vals)
-        indptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
 
-        assign = np.full(n, -1, np.int32)
-        sub_assign = np.full(n, -1, np.int32)
-        sizes = np.zeros(k, np.int64)
-        sub_sizes = np.zeros(k * S, np.int64)
-        deg = np.zeros(n, np.int64)
-        deg[vs] = lens
-
-        vc_total = n_stream
-        ec_total = int(lens.sum())
-        self.vertex_count, self.edge_count = vc_total, ec_total
-        cut_count = 0
-
-        # ---- stream phase: immediate partitioning of high-degree vertices
-        # with *running* metrics (they're rare; per-vertex numpy is fine)
-        high = lens >= cfg.buffer_degree_threshold
-        cum_v = np.arange(1, n_stream + 1)
-        cum_e = np.cumsum(lens)
-        gamma = cfg.gamma
-
-        def _assign_high(i: int) -> None:
-            nonlocal cut_count
-            vi = vs[i]
-            ni = indices[indptr[i] : indptr[i + 1]]
-            vc, ec = int(cum_v[i]), int(cum_e[i])
-            thr = (1.0 + self.slack1) * vc / k
-            parts = assign[ni]
-            ap = parts[parts >= 0]
-            counts = np.bincount(ap, minlength=k)
-            ag = (k ** (gamma - 1.0) * vc / ec**gamma) * gamma if ec else 0.0
-            cost = ag * sizes.astype(np.float64) ** (gamma - 1.0)
-            room = sizes < thr
-            if not room.any():
-                raise RuntimeError("Partition capacity exceeded.")
-            scores = np.where(room & (counts > 0), counts - cost, -np.inf)
-            seed = int(np.argmin(sizes))
-            best = int(np.argmax(scores))
-            if scores[best] <= -cost[seed]:
-                best = seed
-            assign[vi] = best
-            sizes[best] += 1
-            cut_count += int(ap.shape[0] - counts[best])
-            # local pick for hubs: most-connected sub with room, else smallest
-            ssz = sub_sizes[best * S : (best + 1) * S]
-            subs = sub_assign[ni[(parts == best)]]
-            subs = subs[subs >= 0]
-            v_eff = vc // k
-            sub_thr = (1.0 + self.slack1) * v_eff / S
-            bs = -1
-            if subs.shape[0]:
-                sv, sc = np.unique(subs, return_counts=True)
-                okm = ssz[sv] < sub_thr
-                if okm.any():
-                    bs = int(sv[okm][np.argmax(sc[okm])])
-            if bs < 0:
-                bs = int(np.argmin(ssz))
-            sub_assign[vi] = bs
-            ssz[bs] += 1
-
-        # ---- drain machinery: batched top-score eviction over whatever is
-        # currently buffered, with FENNEL metrics frozen at (vc_now, ec_now)
-        buffered = np.zeros(n, bool)
-        buf_score = np.full(n, -np.inf)
-
-        # map dense vertex -> stream row (for CSR slices during drain)
-        row_of = np.full(n, -1, np.int64)
-        row_of[vs] = np.arange(n_stream)
-
-        def _score_buffered(rows: np.ndarray) -> None:
-            """Exact drain-start scores for newly-buffered stream rows (the
-            telescoped formula — see module docstring)."""
-            if rows.shape[0] == 0:
-                return
-            bvs = vs[rows]
-            nb, seg, blens = _gather_flat(indptr, indices, rows)
-            assigned = (assign[nb] >= 0).astype(np.int64)
-            n_assigned = np.zeros(rows.shape[0], np.int64)
-            np.add.at(n_assigned, seg, assigned)
-            safe = np.maximum(blens, 1)
-            buf_score[bvs] = (
-                cfg.theta * (n_assigned / safe) + blens / cfg.buffer_degree_threshold
-            )
-
-        def _drain(vc_now: int, ec_now: int) -> None:
-            nonlocal cut_count, sizes
-            thr_v = (1.0 + self.slack1) * vc_now / k
-            v_eff = vc_now // k
-            sub_thr = (1.0 + self.slack1) * v_eff / S
-            ag = (k ** (gamma - 1.0) * vc_now / ec_now**gamma) * gamma if ec_now else 0.0
-
-            n_buf = int(buffered.sum())
-            # adaptive batch: staleness is relative (B/n), so large graphs can
-            # take proportionally larger batches at equal quality
-            B = max(self.batch_size, n_buf // 128)
-            while n_buf > 0:
-                b = min(B, n_buf)
-                # select top-b among *buffered only* (argpartition over the
-                # compacted candidate set, not the full vertex range)
-                cand_idx = np.flatnonzero(buffered)
-                if b < cand_idx.shape[0]:
-                    sub = np.argpartition(-buf_score[cand_idx], b - 1)[:b]
-                    cand = cand_idx[sub]
-                else:
-                    cand = cand_idx
-                    b = cand.shape[0]
-                rows = row_of[cand]
-                nb, seg, _ = _gather_flat(indptr, indices, rows)
-
-                parts = assign[nb]
-                valid = parts >= 0
-                C = np.zeros((b, k), np.int64)
-                np.add.at(C, (seg[valid], parts[valid]), 1)
-
-                cost = ag * sizes.astype(np.float64) ** (gamma - 1.0)
-                room = sizes < thr_v
-                if not room.any():
-                    raise RuntimeError("Partition capacity exceeded.")
-                scores = np.where(room[None, :] & (C > 0), C - cost[None, :], -np.inf)
-                best = np.argmax(scores, axis=1).astype(np.int32)
-                row_max = scores[np.arange(b), best]
-                seed_cost = -cost[np.argmin(sizes)]
-                fallback = row_max < seed_cost  # no candidate beats the seed
-                if fallback.any():
-                    # water-fill the smallest partitions *with room* (stable),
-                    # emulating sequential argmin-increment
-                    roomy = np.flatnonzero(room)
-                    order = roomy[np.argsort(sizes[roomy], kind="stable")]
-                    fb = np.flatnonzero(fallback)
-                    best[fb] = order[np.arange(fb.shape[0]) % order.shape[0]].astype(np.int32)
-
-                vset = cand
-                assign[vset] = best
-                sizes += np.bincount(best, minlength=k)
-
-                # streaming cut (batch-internal edges not visible — see docstring)
-                nv = np.zeros(b, np.int64)
-                np.add.at(nv, seg[valid], 1)
-                cut_count += int((nv - C[np.arange(b), best]).sum())
-
-                # ---- sub-partition pick
-                subs_nb = sub_assign[nb]
-                gvalid = valid & (subs_nb >= 0)
-                same = gvalid & (parts == best[seg])
-                chosen = np.full(b, -1, np.int64)
-                if same.any():
-                    keys = seg[same].astype(np.int64) * S + subs_nb[same]
-                    ukeys, ucnt = np.unique(keys, return_counts=True)
-                    useg = ukeys // S
-                    usub = ukeys % S
-                    has_room = sub_sizes[best[useg].astype(np.int64) * S + usub] < sub_thr
-                    ukeys, ucnt, useg, usub = (
-                        ukeys[has_room],
-                        ucnt[has_room],
-                        useg[has_room],
-                        usub[has_room],
-                    )
-                    if ukeys.shape[0]:
-                        # per-seg argmax count (ties → smallest sub id)
-                        o = np.lexsort((usub, -ucnt, useg))
-                        first = np.concatenate([[True], useg[o][1:] != useg[o][:-1]])
-                        chosen[useg[o][first]] = usub[o][first]
-                fb = np.flatnonzero(chosen < 0)
-                if fb.shape[0]:
-                    # per-partition water-fill over smallest subs
-                    for p in np.unique(best[fb]).tolist():
-                        rows_p = fb[best[fb] == p]
-                        ssz = sub_sizes[p * S : (p + 1) * S]
-                        m = rows_p.shape[0]
-                        if m < S:
-                            # partial selection of the m smallest subs (stable by
-                            # (size, index)), cheaper than a full 4096-sort
-                            part = np.argpartition(ssz, m)[: 2 * m if 2 * m < S else S]
-                            order = part[np.lexsort((part, ssz[part]))][:m]
-                            picks = order
-                        else:
-                            order = np.argsort(ssz, kind="stable")
-                            picks = np.tile(order, int(np.ceil(m / S)))[:m]
-                        chosen[rows_p] = picks
-                sub_assign[vset] = chosen.astype(np.int32)
-                np.add.at(sub_sizes, best.astype(np.int64) * S + chosen, 1)
-
-                # ---- evict from buffer + rescore buffered neighbors (θ/deg each)
-                buffered[vset] = False
-                buf_score[vset] = -np.inf
-                nb_buf = nb[buffered[nb]]
-                if nb_buf.shape[0]:
-                    np.add.at(buf_score, nb_buf, cfg.theta / deg[nb_buf])
-                n_buf -= b
-
-        # ---- drive: process the stream in segments bounded by
-        # cfg.max_buffer_size — when the buffered population would exceed the
-        # cap, drain everything buffered so far with RUNNING metrics at that
-        # stream position (the reference's forced mid-stream eviction,
-        # /root/reference/src/cuttana.rs:39-44 — batched here: one drain of
-        # the full buffer instead of one eviction per insert). With the
-        # default 1M cap and smaller graphs there are no mid-stream drains
-        # and the path is identical to a single end-of-stream drain.
-        low_stream = np.flatnonzero(~high)
-        hi_stream = np.flatnonzero(high)
+        engine = _SegmentedEngine(k, cfg, self.batch_size, n)
         cap = int(cfg.max_buffer_size) if cfg.max_buffer_size else 0
-        if cap and low_stream.shape[0] > cap:
-            boundaries = low_stream[cap::cap].tolist()
-        else:
-            boundaries = []
-        seg_start = 0
-        for b_pos in boundaries + [n_stream]:
-            for i in hi_stream[(hi_stream >= seg_start) & (hi_stream < b_pos)].tolist():
-                _assign_high(i)
-            lows = low_stream[(low_stream >= seg_start) & (low_stream < b_pos)]
-            buffered[vs[lows]] = True
-            _score_buffered(lows)
-            if b_pos < n_stream:
-                _drain(int(cum_v[b_pos - 1]), int(cum_e[b_pos - 1]))
-            else:
-                _drain(vc_total, ec_total)
-            seg_start = b_pos
+        for seg in _iter_drain_segments(
+            iter([(vs, lens, indices)]), cap, cfg.buffer_degree_threshold
+        ):
+            engine.run_segment(*seg)
+        self.vertex_count, self.edge_count = engine.vc_done, engine.ec_done
 
         # ---- exact sub↔sub edge rebuild from the final assignment
         # (neighbor-only vertices that never appeared as a stream source are
         # unassigned, as in the reference — their edges are skipped)
-        e_src = vs[np.repeat(np.arange(n_stream), lens)]
-        mask = (assign[e_src] >= 0) & (assign[indices] >= 0)
-        g_src = assign[e_src[mask]].astype(np.int64) * S + sub_assign[e_src[mask]]
-        g_dst = assign[indices[mask]].astype(np.int64) * S + sub_assign[indices[mask]]
-        mask2 = g_src != g_dst
-        pair_keys = g_src[mask2] * (k * S) + g_dst[mask2]
-        up, uw = np.unique(pair_keys, return_counts=True)
-        refiner = run_refinement(
-            RefineInput(
-                k=k,
-                S=S,
-                vertex_count=vc_total,
-                balance_slack=cfg.balance_slack,
-                info_gain_threshold=cfg.info_gain_threshold,
-                sizes=sizes,
-                sub_size_flat=sub_sizes,
-                edge_src=(up // (k * S)).astype(np.int64),
-                edge_dst=(up % (k * S)).astype(np.int64),
-                edge_w=uw.astype(np.int64),
-            )
+        up, uw = _pair_counts(
+            engine.assign, engine.sub_assign, k, cfg.num_sub_partitions,
+            vs, lens, indices,
         )
+        return engine.refine_and_result(up, uw, uniq)
 
-        done = assign >= 0
-        gsub = assign[done].astype(np.int64) * S + sub_assign[done]
-        final_parts = refiner.parents[gsub].astype(np.int32)
-        return PartitionResult(
-            vertices=uniq[done],
-            partitions=final_parts,
-            sub_partitions=gsub.astype(np.int32),
-            partition_sizes=np.bincount(final_parts, minlength=k).astype(np.int64),
-            vertex_count=vc_total,
-            edge_count=ec_total,
-            cut_count=cut_count,
-            num_partitions=k,
-            moves=refiner.moves,
-        )
+
+def _pair_counts(assign, sub_assign, k, S, vs, lens, indices):
+    """Exact (gsub_src, gsub_dst) weighted pair counts for one batch of
+    stream rows (dense ids). Returns (pair_keys, weights)."""
+    n_stream = vs.shape[0]
+    e_src = vs[np.repeat(np.arange(n_stream), lens)]
+    mask = (assign[e_src] >= 0) & (assign[indices] >= 0)
+    g_src = assign[e_src[mask]].astype(np.int64) * S + sub_assign[e_src[mask]]
+    g_dst = assign[indices[mask]].astype(np.int64) * S + sub_assign[indices[mask]]
+    mask2 = g_src != g_dst
+    pair_keys = g_src[mask2] * (k * S) + g_dst[mask2]
+    return np.unique(pair_keys, return_counts=True)
+
+
+def _merge_pairs(acc_keys, acc_w, new_keys, new_w):
+    """Sum-merge two sorted (key, weight) pair sets."""
+    keys = np.concatenate([acc_keys, new_keys])
+    w = np.concatenate([acc_w, new_w])
+    order = np.argsort(keys, kind="stable")
+    keys, w = keys[order], w[order]
+    if keys.shape[0] == 0:
+        return keys, w
+    first = np.concatenate([[True], keys[1:] != keys[:-1]])
+    starts = np.flatnonzero(first)
+    return keys[first], np.add.reduceat(w, starts)
 
 
 def cuttana_partition_batched(
@@ -393,3 +517,114 @@ def cuttana_partition_df_batched(
         offsets = np.asarray(offsets, np.int64)
         p.add_batch(src, offsets, values)
     return p.finish()
+
+
+def cuttana_partition_df_spill(
+    adj_df,
+    num_partitions: int,
+    config: CuttanaConfig | None = None,
+    batch_size: int = 1024,
+    dense_ids: bool = False,
+    stats: dict | None = None,
+) -> PartitionResult:
+    """Out-of-core batched partitioning — the beyond-driver-RAM path.
+
+    The adjacency DataFrame is spooled to parquet once (executors write in
+    parallel) and STREAMED three times; the driver never holds more than the
+    O(V) per-vertex state plus one drain segment of edges:
+
+      pass A  id space — with ``dense_ids=True`` (ids already 0..n-1, e.g.
+              from edges.densify_edges) only the max id is tracked;
+              otherwise a sorted id-union array is built incrementally
+              (O(V) resident, same dense mapping np.unique would produce);
+      pass B  the segment loop — segments end after every
+              cfg.max_buffer_size-th low-degree row, the same boundaries as
+              the in-memory feeder, so results are bit-identical to
+              cuttana_partition_df_batched (tested);
+      pass C  exact sub↔sub edge rebuild for refinement, accumulated as
+              sum-merged (pair, weight) arrays per batch.
+
+    Driver residency: n·33 B vertex state (+ n·8 B for the id union when
+    dense_ids=False) + one segment (≈ max_buffer_size × avg-low-degree × 8 B
+    + the largest merged neighbor list). `stats` (optional dict) receives
+    max_resident_edges / n_segments for ceiling audits.
+
+    Hub-chunked adjacency (a `chunk` column) is merged stream-side exactly as
+    in the in-memory feeder.
+    """
+    import shutil
+    import tempfile
+
+    from cuttana_spark.partition.core import (
+        iter_spool_batches,
+        merge_chunk_runs,
+        prepare_chunked_adjacency,
+    )
+
+    cfg = config or CuttanaConfig()
+    adj_df, chunked = prepare_chunked_adjacency(adj_df)
+    tmp = tempfile.mkdtemp(prefix="cuttana_spill_")
+    try:
+        adj_df.write.mode("overwrite").parquet(tmp)
+
+        def raw_batches():
+            for src, offsets, values in iter_spool_batches(tmp):
+                yield src, np.diff(np.asarray(offsets, np.int64)), values
+
+        def merged_batches():
+            if not chunked:
+                yield from raw_batches()
+                return
+            for src, offsets, values in merge_chunk_runs(iter_spool_batches(tmp)):
+                yield src, np.diff(np.asarray(offsets, np.int64)), values
+
+        # ---- pass A: id space
+        if dense_ids:
+            max_id = -1
+            for src, lens, values in raw_batches():
+                if src.shape[0]:
+                    max_id = max(max_id, int(src.max()))
+                if values.shape[0]:
+                    max_id = max(max_id, int(values.max()))
+            n = max_id + 1
+            uniq = None
+            vertices = np.arange(n, dtype=np.int64)
+        else:
+            uniq = np.empty(0, np.int64)
+            for src, lens, values in raw_batches():
+                chunk_ids = np.unique(np.concatenate([src, values]))
+                uniq = np.union1d(uniq, chunk_ids)
+            n = uniq.shape[0]
+            vertices = uniq
+
+        to_dense = (lambda a: a) if uniq is None else (lambda a: np.searchsorted(uniq, a))
+
+        # ---- pass B: segment loop
+        engine = _SegmentedEngine(num_partitions, cfg, batch_size, n)
+        cap = int(cfg.max_buffer_size) if cfg.max_buffer_size else 0
+        n_segments = 0
+        dense_stream = (
+            (to_dense(src), lens, to_dense(values)) for src, lens, values in merged_batches()
+        )
+        for seg in _iter_drain_segments(dense_stream, cap, cfg.buffer_degree_threshold):
+            engine.run_segment(*seg)
+            n_segments += 1
+
+        # ---- pass C: exact sub↔sub edge rebuild, merged incrementally
+        S = cfg.num_sub_partitions
+        acc_keys = np.empty(0, np.int64)
+        acc_w = np.empty(0, np.int64)
+        for src, lens, values in raw_batches():
+            up, uw = _pair_counts(
+                engine.assign, engine.sub_assign, num_partitions, S,
+                to_dense(src), lens, to_dense(values),
+            )
+            acc_keys, acc_w = _merge_pairs(acc_keys, acc_w, up, uw)
+
+        if stats is not None:
+            stats["max_resident_edges"] = engine.max_resident_edges
+            stats["n_segments"] = n_segments
+            stats["n_vertices_state"] = n
+        return engine.refine_and_result(acc_keys, acc_w, vertices)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

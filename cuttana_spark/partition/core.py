@@ -426,27 +426,48 @@ def iter_adjacency_batches(adj_df, streaming: bool = False) -> Iterator[tuple[np
     /root/reference/src/stream.rs:23-55). streaming=False collects via
     Arrow in one shot (fastest at sandbox scale).
 
-    Driver-memory ceiling (honest accounting): the CONSUMERS are a
-    sequential stage — the sequential core buffers low-degree vertices until
-    eviction, and the batched partitioner accumulates the whole stream — so
-    partitioning a graph needs roughly V*40 B + E*8 B of driver RAM
-    (~1.3 GB per 100 M edges). The partition step is inherently sequential
-    (the reference is a single-threaded streaming partitioner); everything
-    downstream of the assignment (materialize, CSR, supersteps) is fully
-    distributed.
+    Driver-memory ceiling (honest accounting): the sequential core and the
+    in-memory batched feeder hold the whole stream, roughly V*40 B + E*8 B
+    of driver RAM (~1.3 GB per 100 M edges) — fine at sandbox scale. The
+    BEYOND-driver-RAM path is batched.cuttana_partition_df_spill: O(V)
+    per-vertex state (~33-41 B/vertex) plus ONE drain segment of edges,
+    independent of |E| — at 10^12 edges the segment is ~max_buffer_size x
+    avg-low-degree x 8 B instead of ~8 TB. The partition step is inherently
+    sequential (the reference is a single-threaded streaming partitioner);
+    everything downstream of the assignment (materialize, CSR, supersteps)
+    is fully distributed.
     """
-    import pyarrow as pa
-
     if streaming:
         import tempfile
 
-        import pyarrow.dataset as ds
-
         tmp = tempfile.mkdtemp(prefix="cuttana_adj_")
         adj_df.write.mode("overwrite").parquet(tmp)
-        source = ds.dataset(tmp, format="parquet").to_batches(batch_size=65536)
-    else:
-        source = adj_df.toArrow().to_batches(max_chunksize=65536)
+        yield from iter_spool_batches(tmp)
+        return
+    yield from _iter_arrow_batches(adj_df.toArrow().to_batches(max_chunksize=65536))
+
+
+def iter_spool_batches(path: str) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Stream (vertex_ids, offsets, flat_indices) batches from a parquet
+    adjacency spool on disk — O(batch) driver memory, re-iterable (the spill
+    engine makes three passes over the same spool). Files are read in sorted
+    path order, matching Spark's partition numbering, so a sorted write
+    (repartitionByRange + sortWithinPartitions) is consumed in order."""
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(path, format="parquet")
+    # explicit sorted-fragment order (partition files part-00000, part-00001…)
+    frags = sorted(dataset.get_fragments(), key=lambda f: f.path)
+
+    def gen():
+        for frag in frags:
+            yield from frag.to_batches(batch_size=65536)
+
+    yield from _iter_arrow_batches(gen())
+
+
+def _iter_arrow_batches(source) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    import pyarrow as pa
 
     for batch in source:
         src = batch.column(batch.schema.get_field_index("src"))
@@ -485,14 +506,20 @@ def prepare_chunked_adjacency(adj_df):
 
 
 def iter_merged_adjacency_batches(adj_df, streaming: bool = False) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """iter_adjacency_batches + merging of CONSECUTIVE rows with equal src —
-    the stream-side reassembly of hub-chunked adjacency. A vertex split into
-    chunk rows is one logical add() (one vertex_count increment, the full
-    neighbor list), exactly as if collect_list had produced a single row; the
-    held-back tail run carries across Arrow batch boundaries. Requires input
-    sorted by (src, chunk) — see prepare_chunked_adjacency."""
+    """iter_adjacency_batches + merge_chunk_runs (hub-chunked reassembly)."""
+    yield from merge_chunk_runs(iter_adjacency_batches(adj_df, streaming=streaming))
+
+
+def merge_chunk_runs(batches) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Merge CONSECUTIVE rows with equal src across a (src, offsets, values)
+    batch stream — the stream-side reassembly of hub-chunked adjacency. A
+    vertex split into chunk rows is one logical add() (one vertex_count
+    increment, the full neighbor list), exactly as if collect_list had
+    produced a single row; the held-back tail run carries across Arrow batch
+    boundaries. Requires input sorted by (src, chunk) — see
+    prepare_chunked_adjacency."""
     pend: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
-    for src, offsets, values in iter_adjacency_batches(adj_df, streaming=streaming):
+    for src, offsets, values in batches:
         lens = np.diff(offsets)
         if pend is not None:
             src = np.concatenate([pend[0], src])

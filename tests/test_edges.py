@@ -48,3 +48,19 @@ def test_events_sequence_edges(spark, sf_dir):
     e = E.events_sequence_edges(ev)
     assert e.count() > 0
     assert e.filter("src_key > dst_key").count() == 0
+
+
+def test_densify_edges_dense_contiguous_ids(spark):
+    """densify_edges assigns each distinct vertex a unique dense id 0..n-1
+    (sorted order) and remaps edges faithfully."""
+    from cuttana_spark.operators.edges import densify_edges
+
+    rows = [(100, 7, 2), (7, 4212, 1), (100, 4212, 3)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight long")
+    vmap, dense = densify_edges(edges)
+    m = {r.orig: r.vid for r in vmap.collect()}
+    assert sorted(m.values()) == [0, 1, 2]
+    assert m[7] < m[100] < m[4212]  # sorted assignment
+    got = sorted((r.src, r.dst, r.weight) for r in dense.collect())
+    want = sorted((m[s], m[d], w) for s, d, w in rows)
+    assert got == want

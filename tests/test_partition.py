@@ -154,3 +154,84 @@ def test_batched_max_buffer_size_mid_stream_drain():
     # ~1.56x the uncapped cut. Bound it loosely; the hard checks above
     # (completeness, balance) are the invariants.
     assert capped.edge_cut_ratio <= base.edge_cut_ratio * 1.8
+
+
+# ---- out-of-core (spill) mode ----------------------------------------------
+
+
+def _adj_df(spark, adjacency, parts=4):
+    df = spark.createDataFrame(
+        [(int(v), [int(x) for x in nbrs]) for v, nbrs in adjacency],
+        "src long, nbrs array<long>",
+    )
+    # deterministic stream layout so both feeders see the same order
+    return df.repartitionByRange(parts, "src").sortWithinPartitions("src")
+
+
+def test_spill_mode_bit_identical_to_in_memory(spark):
+    """cuttana_partition_df_spill with a tiny buffer cap (many bounded
+    segments) must produce EXACTLY the in-memory batched result — same
+    assignments, cut, sizes — while never holding more than one segment of
+    edges on the driver."""
+    from cuttana_spark.partition.batched import (
+        cuttana_partition_df_batched,
+        cuttana_partition_df_spill,
+    )
+
+    adj = _ba(6000)
+    total_edges = sum(len(nb) for _, nb in adj)
+    df = _adj_df(spark, adj)
+    cfg = CuttanaConfig(max_buffer_size=500)  # ~12 mid-stream drains
+
+    mem = cuttana_partition_df_batched(df, 8, config=cfg)
+    stats: dict = {}
+    spill = cuttana_partition_df_spill(df, 8, config=cfg, stats=stats)
+
+    assert spill.vertex_count == mem.vertex_count
+    assert spill.edge_count == mem.edge_count
+    assert spill.cut_count == mem.cut_count
+    assert np.array_equal(spill.vertices, mem.vertices)
+    assert np.array_equal(spill.partitions, mem.partitions)
+    assert np.array_equal(spill.sub_partitions, mem.sub_partitions)
+    assert np.array_equal(spill.partition_sizes, mem.partition_sizes)
+    # the resident-memory claim: many segments, each a fraction of the graph
+    assert stats["n_segments"] >= 8
+    assert stats["max_resident_edges"] < total_edges * 0.5
+
+
+def test_spill_dense_ids_path(spark):
+    """dense_ids=True (ids already 0..n-1) skips the id-union pass and must
+    match the general path exactly."""
+    from cuttana_spark.partition.batched import cuttana_partition_df_spill
+
+    adj = _ba(3000)
+    df = _adj_df(spark, adj)
+    cfg = CuttanaConfig(max_buffer_size=400)
+    a = cuttana_partition_df_spill(df, 4, config=cfg, dense_ids=False)
+    b = cuttana_partition_df_spill(df, 4, config=cfg, dense_ids=True)
+    assert np.array_equal(a.vertices, b.vertices)
+    assert np.array_equal(a.partitions, b.partitions)
+    assert a.cut_count == b.cut_count
+
+
+def test_spill_mode_with_chunked_adjacency(spark):
+    """Spill ingest over hub-chunked adjacency (chunk-merge + segment cut in
+    one stream) equals in-memory ingest of the same chunked adjacency."""
+    from cuttana_spark.operators import edges as E
+    from cuttana_spark.partition.batched import (
+        cuttana_partition_df_batched,
+        cuttana_partition_df_spill,
+    )
+
+    rows = [(0, i, 1) for i in range(1, 3001)] + [(i, i + 1, 1) for i in range(1, 400)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight long")
+    chunked = E.adjacency(edges, max_nbrs_per_row=256)
+    cfg = CuttanaConfig(max_buffer_size=300)
+    mem = cuttana_partition_df_batched(chunked, 4, config=cfg)
+    stats: dict = {}
+    spill = cuttana_partition_df_spill(chunked, 4, config=cfg, stats=stats)
+    assert spill.vertex_count == mem.vertex_count
+    assert dict(zip(spill.vertices.tolist(), spill.partitions.tolist())) == dict(
+        zip(mem.vertices.tolist(), mem.partitions.tolist())
+    )
+    assert stats["n_segments"] >= 5
