@@ -55,17 +55,20 @@ def connected_components(
         .distinct()
         .cache()
     )
+    from cuttana_spark.plans.checkpoints import CheckpointCycler
+
+    ck = CheckpointCycler(spark)
     e = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).filter(
         F.col("a") != F.col("b")
     )
-    e = e.localCheckpoint(eager=True)
+    e = ck.checkpoint(e)
 
     start = 0
     if runner is not None:
         resumed = runner.resume()
         if resumed is not None:
             start, e = resumed
-            e = e.localCheckpoint(eager=True)
+            e = ck.checkpoint(e)
 
     def _sig(df) -> tuple:
         # order-insensitive canonical-edge-set signature: one cheap aggregate
@@ -84,7 +87,7 @@ def connected_components(
 
     prev_sig = _sig(e)
     for rnd in range(start, max_rounds):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e2 = ck.checkpoint(_small_star(_large_star(e)))
         sig = _sig(e2)
         changed = sig != prev_sig
         prev_sig = sig
@@ -95,6 +98,7 @@ def connected_components(
             break
 
     # at fixpoint every edge is (v, root); vertices may appear as roots only
+    ck.finish(e)
     labels = e.groupBy(F.col("a").alias("vertex")).agg(F.min("b").alias("component"))
     return (
         nodes.join(labels, "vertex", "left")

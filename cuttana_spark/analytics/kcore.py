@@ -22,12 +22,13 @@ from pyspark.sql import functions as F
 def k_core(spark: SparkSession, edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
     """edges: undirected canonical (src, dst[, weight]) → DataFrame[vertex]
     containing exactly the k-core vertices (empty if none)."""
+    from cuttana_spark.plans.checkpoints import CheckpointCycler
+
     sym = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
-    alive = (
-        sym.select(F.col("src").alias("vertex")).distinct().localCheckpoint(eager=True)
-    )
+    ck = CheckpointCycler(spark)
+    alive = ck.checkpoint(sym.select(F.col("src").alias("vertex")).distinct())
     n_prev = alive.count()
     for _ in range(max_rounds):
         deg = (
@@ -36,14 +37,13 @@ def k_core(spark: SparkSession, edges: DataFrame, k: int, max_rounds: int = 200)
             .groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        new_alive = (
-            deg.filter(F.col("deg") >= k)
-            .select(F.col("src").alias("vertex"))
-            .localCheckpoint(eager=True)
+        new_alive = ck.checkpoint(
+            deg.filter(F.col("deg") >= k).select(F.col("src").alias("vertex"))
         )
         n_new = new_alive.count()
         alive = new_alive
         if n_new == n_prev or n_new == 0:
             break
         n_prev = n_new
-    return alive
+    sym.unpersist(False)
+    return ck.finish(alive)

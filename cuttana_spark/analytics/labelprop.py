@@ -32,7 +32,10 @@ def label_propagation(
         resumed = runner.resume()
         if resumed is not None:
             start, labels = resumed
-    labels = labels.localCheckpoint(eager=True)
+    from cuttana_spark.plans.checkpoints import CheckpointCycler
+
+    ck = CheckpointCycler(spark)
+    labels = ck.checkpoint(labels)
 
     w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
     for it in range(start, max_iter):
@@ -46,14 +49,15 @@ def label_propagation(
             .filter("rn = 1")
             .select(F.col("dst").alias("vertex"), F.col("label").alias("new_label"))
         )
-        labels = (
-            labels.join(best, "vertex", "left")
-            .select("vertex", F.coalesce("new_label", "label").alias("label"))
-            .localCheckpoint(eager=True)
+        labels = ck.checkpoint(
+            labels.join(best, "vertex", "left").select(
+                "vertex", F.coalesce("new_label", "label").alias("label")
+            )
         )
         if runner is not None:
             runner.checkpoint(it + 1, labels, {})
-    return labels
+    nodes.unpersist(False)
+    return ck.finish(labels)
 
 
 def label_propagation_oracle(adj: dict[int, list[int]], max_iter: int = 10) -> dict[int, int]:

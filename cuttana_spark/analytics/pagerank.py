@@ -41,13 +41,21 @@ def pagerank(
     max_iter: int = 100,
     tol: float = 1e-10,
     runner=None,
+    checkpoint_interval: int = 5,
+    iter_walls: list | None = None,
 ) -> DataFrame:
     """PageRank over a DIRECTED weighted edge table (src, dst, weight).
 
     For undirected graphs pass the symmetrized table
     (operators.edges.symmetrize). Returns DataFrame[vertex, score].
     ``runner``: optional supersteps.SuperstepRunner for checkpoint/resume.
+    ``checkpoint_interval``: materialize (and truncate lineage) every k-th
+    superstep; intermediate supersteps stay lazily chained in one DAG.
+    ``iter_walls``: optional list — appends each superstep's wall seconds
+    (meaningful with checkpoint_interval=1, where every superstep is its own
+    job; the scaling bench's steady-state metric).
     """
+    import time as _time
     edges = edges.select("src", "dst", F.col("weight").cast("double"))
     nodes = _nodes(edges).cache()
     n = nodes.count()
@@ -55,11 +63,19 @@ def pagerank(
         return spark.createDataFrame([], "vertex long, score double")
 
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    # The transition matrix is STATIC across supersteps and joined on src
+    # every one of them: lay it out once (explicit hash partitioning on the
+    # join key, no AQE-coalesced odd layout) and materialize it eagerly —
+    # otherwise the first superstep's job mixes cache-fill with gather and
+    # per-superstep walls are unstable (measured: 2.8 s vs 5-50 s stalls at
+    # 10M edges when the cached side kept its ad-hoc post-join layout).
     trans = (
         edges.join(out_w, "src")
         .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
+        .repartition("src")
         .cache()
     )
+    trans.count()
     dangling_nodes = nodes.join(out_w, nodes.vertex == out_w.src, "left_anti").cache()
     has_dangling = dangling_nodes.count() > 0
 
@@ -70,8 +86,12 @@ def pagerank(
         if resumed is not None:
             start_iter, ranks = resumed
 
-    ranks = ranks.localCheckpoint(eager=True)
+    from cuttana_spark.plans.checkpoints import CheckpointCycler
+
+    ck = CheckpointCycler(spark)
+    ranks = ck.checkpoint(ranks)
     for it in range(start_iter, max_iter):
+        _t_it = _time.monotonic() if iter_walls is not None else 0.0
         contribs = (
             trans.join(ranks, trans.src == ranks.vertex)
             .groupBy("dst")
@@ -101,8 +121,8 @@ def pagerank(
         # intermediate supersteps live as shuffle outputs that Spark reuses,
         # so a fixed-iteration run executes as ONE dag with no per-superstep
         # driver round-trip
-        if tol > 0 or runner is not None or (it + 1) % 5 == 0 or it + 1 == max_iter:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+        if tol > 0 or runner is not None or (it + 1) % checkpoint_interval == 0 or it + 1 == max_iter:
+            new_ranks = ck.checkpoint(new_ranks)
         if tol > 0:
             err = (
                 new_ranks.alias("a")
@@ -113,11 +133,18 @@ def pagerank(
         else:
             err = float("inf")  # fixed-iteration mode: no convergence action
         ranks = new_ranks
+        if iter_walls is not None:
+            iter_walls.append(_time.monotonic() - _t_it)
         if runner is not None:
             runner.checkpoint(it + 1, ranks, {"err": float(err) if err != float("inf") else -1.0})
         if err < n * tol:
             break
-    return ranks
+    # the returned ranks is a checkpointed LogicalRDD — the per-call input
+    # caches are dead weight now; unpersist so repeated calls don't pile up
+    # evictable-but-noisy blocks in the BlockManager
+    for c in (nodes, trans, dangling_nodes):
+        c.unpersist(False)
+    return ck.finish(ranks)
 
 
 def pagerank_csr(
@@ -187,7 +214,10 @@ def pagerank_csr(
             ranks = resumed_state
             if "partition_id" not in ranks.columns:
                 ranks = ranks.join(nodes_pid, "vertex")
-    ranks = ranks.localCheckpoint(eager=True)
+    from cuttana_spark.plans.checkpoints import CheckpointCycler
+
+    ck = CheckpointCycler(spark)
+    ranks = ck.checkpoint(ranks)
 
     for it in range(start_iter, max_iter):
         contribs = scatter_gather(spark, blocks, ranks)
@@ -214,7 +244,7 @@ def pagerank_csr(
         # so a fixed-iteration run executes as ONE dag with no per-superstep
         # driver round-trip
         if tol > 0 or runner is not None or (it + 1) % 5 == 0 or it + 1 == max_iter:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            new_ranks = ck.checkpoint(new_ranks)
         if tol > 0:
             err = (
                 new_ranks.alias("a")
@@ -229,7 +259,11 @@ def pagerank_csr(
             runner.checkpoint(it + 1, ranks, {"err": float(err) if err != float("inf") else -1.0})
         if err < n * tol:
             break
-    return ranks.select("vertex", "score")
+    for c in (nodes, nodes_pid, dangling_nodes):
+        c.unpersist(False)
+    if bucketed_table is None:
+        blocks.unpersist(False)
+    return ck.finish(ranks).select("vertex", "score")
 
 
 def personalized_pagerank(
@@ -258,16 +292,26 @@ def personalized_pagerank(
         raise ValueError("personalized_pagerank: no seed vertex exists in the graph")
 
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
-    trans = edges.join(out_w, "src").select(
-        "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
-    ).cache()
+    # static across supersteps — lay out on the join key once (see pagerank)
+    trans = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
+        .repartition("src")
+        .cache()
+    )
+    trans.count()
     dangling = nodes.join(out_w, nodes.vertex == out_w.src, "left_anti").cache()
     has_dangling = dangling.count() > 0
 
+    from cuttana_spark.plans.checkpoints import CheckpointCycler
+
+    ck = CheckpointCycler(spark)
     # start from the restart distribution (uniform over seeds)
-    ranks = nodes_s.withColumn(
-        "score", F.col("is_seed").cast("double") / F.lit(float(n_seeds))
-    ).localCheckpoint(eager=True)
+    ranks = ck.checkpoint(
+        nodes_s.withColumn(
+            "score", F.col("is_seed").cast("double") / F.lit(float(n_seeds))
+        )
+    )
     for it in range(max_iter):
         contribs = (
             trans.join(ranks, trans.src == ranks.vertex)
@@ -293,6 +337,8 @@ def personalized_pagerank(
             ).alias("score"),
         )
         if (it + 1) % 5 == 0 or it + 1 == max_iter:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            new_ranks = ck.checkpoint(new_ranks)
         ranks = new_ranks
-    return ranks.select("vertex", "score")
+    for c in (nodes, nodes_s, trans, dangling):
+        c.unpersist(False)
+    return ck.finish(ranks).select("vertex", "score")

@@ -300,3 +300,31 @@ def test_random_walks_deterministic_replay(spark, G, edges_df):
             v = nbrs[h64(f"{w}|{step}") % len(nbrs)]
             want.append((w, step, v))
     assert out1 == sorted(want)
+
+
+def test_iterative_checkpoints_do_not_accumulate(spark):
+    """Superseded localCheckpoints must be unpersisted as the loop advances:
+    a 25-superstep pagerank (5 checkpoint generations) and a CC run leave
+    only the final generation pinned, not one RDD per round. (Leaked pinned
+    blocks were the round-2 run-to-run variance root cause.)"""
+    from pyspark.sql import functions as F
+
+    from cuttana_spark.analytics.components import connected_components
+    from cuttana_spark.analytics.pagerank import pagerank
+
+    sc = spark.sparkContext
+    n_pinned = lambda: len(sc._jsc.getPersistentRDDs())
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 60, 1.0) for i in range(60)], "src long, dst long, weight double"
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    before = n_pinned()
+    pagerank(spark, sym, max_iter=25, tol=0.0).collect()
+    assert n_pinned() - before <= 2  # final checkpoint only (+1 slack)
+
+    before = n_pinned()
+    connected_components(spark, edges).collect()
+    assert n_pinned() - before <= 3  # final edge fixpoint + nodes cache
