@@ -123,7 +123,13 @@ def asof_join_bucketed(
     """
     right_cols = right_cols or [c for c in right.columns if c not in {on, by}]
     key_cols = [by] if by else []
-    tsd = F.col(on).cast("double")
+    on_type = dict(left.dtypes).get(on, "")
+    if on_type.startswith("timestamp"):
+        # TIMESTAMP(_NTZ) cannot cast to double under ANSI; go through
+        # unix_micros (NTZ → LTZ uses the session tz, pinned UTC)
+        tsd = F.unix_micros(F.col(on).cast("timestamp")) / F.lit(1e6)
+    else:
+        tsd = F.col(on).cast("double")
 
     if bucket_width is None:
         bounds = (
