@@ -235,3 +235,22 @@ def test_spill_mode_with_chunked_adjacency(spark):
         zip(mem.vertices.tolist(), mem.partitions.tolist())
     )
     assert stats["n_segments"] >= 5
+
+
+def test_spill_mode_degenerate_inputs(spark):
+    """Tiny/degenerate graphs through the spill path: single vertex pair and
+    a star smaller than one segment — complete assignments, sane metrics."""
+    from cuttana_spark.partition.batched import cuttana_partition_df_spill
+
+    tiny = spark.createDataFrame(
+        [(0, [1, 2]), (1, [0]), (2, [0])], "src long, nbrs array<long>"
+    )
+    res = cuttana_partition_df_spill(tiny, 16)
+    assert res.vertex_count == 3 and res.edge_count == 4
+    assert set(res.vertices.tolist()) == {0, 1, 2}
+    assert (res.partitions >= 0).all()
+
+    one = spark.createDataFrame([(5, [6]), (6, [5])], "src long, nbrs array<long>")
+    stats: dict = {}
+    r1 = cuttana_partition_df_spill(one, 2, stats=stats)
+    assert r1.vertex_count == 2 and stats["n_segments"] == 1

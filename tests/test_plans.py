@@ -53,3 +53,24 @@ def test_whole_stage_codegen_on_relational_paths(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # map-side partial aggregation before the shuffle
     assert "partial_sum" in plan
+
+
+def test_asof_bucketed_plan_has_no_global_window(spark):
+    """asof_join_bucketed must never fall back to a partition-less window
+    (the straggler shape it exists to avoid): every Window in the plan
+    carries a partition spec including the bucket column."""
+    from cuttana_spark.operators.asof import asof_join_bucketed
+
+    left = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(100)], "lid long, k long, ts double"
+    )
+    right = spark.createDataFrame(
+        [(i % 3, float(i * 2), float(i)) for i in range(50)], "k long, ts double, px double"
+    )
+    out = asof_join_bucketed(left, right, on="ts", by="k", n_buckets=8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "_b" in spec, f"window without bucket in partition spec: {spec}"

@@ -129,3 +129,55 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     want_px = want["px"].to_numpy()
     both_nan = np.isnan(got_px) & np.isnan(want_px)
     assert (both_nan | (got_px == want_px)).all()
+
+
+def test_asof_join_bucketed_matches_pandas_merge_asof(spark):
+    """Same randomized pandas.merge_asof oracle for the hot-key-safe bucketed
+    variant, swept over bucket counts (1 bucket = one window per key;
+    many buckets = most buckets empty, matches carried across bucket gaps)."""
+    import numpy as np
+    import pandas as pd
+
+    from cuttana_spark.operators.asof import asof_join_bucketed
+
+    rng = np.random.RandomState(23)
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 6, 300),
+            "ts": rng.randint(0, 1000, 300),
+            "lid": np.arange(300),
+        }
+    )
+    right_pd = (
+        pd.DataFrame(
+            {
+                "k": rng.randint(0, 5, 120),
+                "ts": rng.randint(0, 1000, 120),
+                "px": rng.randn(120).round(6),
+            }
+        )
+        .drop_duplicates(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    want = pd.merge_asof(
+        left_pd.sort_values("ts", kind="stable"),
+        right_pd.sort_values("ts", kind="stable"),
+        on="ts",
+        by="k",
+        direction="backward",
+    ).sort_values("lid")
+    want_px = want["px"].to_numpy()
+
+    for n_buckets in (1, 7, 64, 997):
+        got = (
+            asof_join_bucketed(
+                left, right, on="ts", by="k", right_cols=["px"], n_buckets=n_buckets
+            )
+            .orderBy("lid")
+            .toPandas()
+        )
+        got_px = got.sort_values("lid")["px_asof"].to_numpy()
+        both_nan = np.isnan(got_px) & np.isnan(want_px)
+        assert (both_nan | (got_px == want_px)).all(), f"n_buckets={n_buckets}"
