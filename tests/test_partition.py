@@ -254,3 +254,15 @@ def test_spill_mode_degenerate_inputs(spark):
     stats: dict = {}
     r1 = cuttana_partition_df_spill(one, 2, stats=stats)
     assert r1.vertex_count == 2 and stats["n_segments"] == 1
+
+
+def test_spill_mode_golden_band_ba10k(spark, ba10k):
+    """Spill path at reference defaults on the golden ba10k graph stays
+    inside the measured-Rust cut band (same criterion as the in-memory
+    engines)."""
+    from cuttana_spark.partition.batched import cuttana_partition_df_spill
+
+    df = _adj_df(spark, ba10k)
+    res = cuttana_partition_df_spill(df, 4)
+    assert res.edge_cut_ratio <= GOLDEN[("ba10k", 4)] * 1.10
+    assert res.balance <= 1.05 * 1.12

@@ -143,3 +143,31 @@ def test_random_walks_hub_chunked(spark):
         assert start == pos
         pos += clen
     assert pos == 5000
+
+
+def test_megahub_adjacency_and_partition_ingest(spark):
+    """A ~10^6-degree hub (the VERDICT r2 target regime): chunked adjacency
+    keeps every row bounded (~cap expected, 2x cap asserted) and the spill
+    partitioner ingests the reassembled hub as ONE vertex without a giant
+    Arrow cell."""
+    from cuttana_spark.operators import edges as E
+    from cuttana_spark.partition.batched import cuttana_partition_df_spill
+
+    hub_deg = 1_000_000
+    cap = 65_536
+    edges = spark.range(1, hub_deg + 1).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst"), F.lit(1).alias("weight")
+    )
+    chunked = E.adjacency(edges, max_nbrs_per_row=cap)
+    mx, nrows = chunked.agg(
+        F.max(F.size("nbrs")), F.count(F.lit(1))
+    ).first()
+    assert mx <= 2 * cap
+    assert nrows >= hub_deg // cap  # hub split across many rows
+
+    stats: dict = {}
+    res = cuttana_partition_df_spill(chunked, 4, stats=stats)
+    # hub + 10^6 leaves all streamed: one add() per vertex
+    assert res.vertex_count == hub_deg + 1
+    assert res.edge_count == 2 * hub_deg
+    assert (res.partitions >= 0).all()
