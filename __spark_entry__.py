@@ -395,9 +395,12 @@ FROM verts
 
 
 # n_segments arithmetic: the spill engine cuts a drain segment before every
-# (cap+1)-th LOW-degree stream row (degree < buffer_degree_threshold=100),
-# so segments = ceil(n_low_vertices / cap) with cap = 8192; degree here is
-# the adjacency row length = distinct-neighbor count.
+# (cap+1)-th LOW-degree stream row, so segments = ceil(n_low_vertices / cap)
+# — EXCEPT that a non-empty stream with zero low rows still yields one
+# (all-high) segment, hence greatest(1, ...). The constants are COUPLED to
+# CuttanaConfig defaults (buffer_degree_threshold=100, max_buffer_size=8192)
+# and to duplicate-free adjacency rows (degree = row length =
+# distinct-neighbor count); change either and this oracle must follow.
 _PARTITION_SPILL_SQL = f"""
 WITH e AS ({_transcript_edges_sql()}),
 sym AS (
@@ -407,7 +410,9 @@ sym AS (
 ),
 deg AS (SELECT v, count(*) AS d FROM sym GROUP BY v)
 SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_vertices,
-       CAST(ceil((SELECT count(*) FROM deg WHERE d < 100) / 8192.0) AS BIGINT) AS n_segments,
+       CAST(CASE WHEN (SELECT count(*) FROM deg) = 0 THEN 0
+                 ELSE greatest(1, ceil((SELECT count(*) FROM deg WHERE d < 100) / 8192.0))
+            END AS BIGINT) AS n_segments,
        CAST(1 AS BIGINT) AS identical_to_in_memory,
        CAST(1 AS BIGINT) AS complete,
        CAST(1 AS BIGINT) AS balance_ok

@@ -60,7 +60,7 @@ nodes, eids = E.transcript_edges(tdf, mode="hash")
 sym = E.symmetrize(eids).repartition(shuf, "src").cache()
 n_edges = sym.count()
 walls = []
-pagerank(spark, sym, max_iter=iters, tol=0.0, checkpoint_interval=1, iter_walls=walls)
+pagerank(spark, sym, max_iter=iters, tol=0.0, checkpoint_interval=1, iter_walls=walls, stable_layout=True)
 print("RESULT " + json.dumps({{"cpus": cpus, "edges": n_edges, "walls": [round(w, 3) for w in walls]}}))
 """
 

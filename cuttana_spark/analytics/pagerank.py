@@ -43,6 +43,7 @@ def pagerank(
     runner=None,
     checkpoint_interval: int = 5,
     iter_walls: list | None = None,
+    stable_layout: bool | None = None,
 ) -> DataFrame:
     """PageRank over a DIRECTED weighted edge table (src, dst, weight).
 
@@ -54,6 +55,11 @@ def pagerank(
     ``iter_walls``: optional list — appends each superstep's wall seconds
     (meaningful with checkpoint_interval=1, where every superstep is its own
     job; the scaling bench's steady-state metric).
+    ``stable_layout``: lay out the static transition matrix on the join key
+    and materialize it eagerly before superstep 1. Worth it only when the
+    upfront repartition+count amortizes over many supersteps — default is
+    on for long/tol-driven runs (tol > 0 or max_iter > 8) and off for short
+    fixed-iteration runs, where the upfront cost would dominate the wall.
     """
     import time as _time
     edges = edges.select("src", "dst", F.col("weight").cast("double"))
@@ -64,18 +70,24 @@ def pagerank(
 
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     # The transition matrix is STATIC across supersteps and joined on src
-    # every one of them: lay it out once (explicit hash partitioning on the
-    # join key, no AQE-coalesced odd layout) and materialize it eagerly —
-    # otherwise the first superstep's job mixes cache-fill with gather and
-    # per-superstep walls are unstable (measured: 2.8 s vs 5-50 s stalls at
-    # 10M edges when the cached side kept its ad-hoc post-join layout).
-    trans = (
-        edges.join(out_w, "src")
-        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
-        .repartition("src")
-        .cache()
+    # every one of them. For LONG runs, lay it out once (explicit hash
+    # partitioning on the join key, no AQE-coalesced odd layout) and
+    # materialize it eagerly — otherwise the first superstep's job mixes
+    # cache-fill with gather and per-superstep walls are unstable (measured:
+    # 2.8 s vs 5-50 s stalls at 10M edges when the cached side kept its
+    # ad-hoc post-join layout). For SHORT fixed-iteration runs the upfront
+    # repartition+count costs more than it saves (measured +7 s on the
+    # 5-superstep 1.3M-edge bench), so it is conditional.
+    if stable_layout is None:
+        stable_layout = tol > 0 or max_iter > 8
+    trans = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
     )
-    trans.count()
+    if stable_layout:
+        trans = trans.repartition("src")
+    trans = trans.cache()
+    if stable_layout:
+        trans.count()
     dangling_nodes = nodes.join(out_w, nodes.vertex == out_w.src, "left_anti").cache()
     has_dangling = dangling_nodes.count() > 0
 
@@ -272,6 +284,7 @@ def personalized_pagerank(
     seeds: DataFrame,
     alpha: float = 0.85,
     max_iter: int = 20,
+    stable_layout: bool | None = None,
 ) -> DataFrame:
     """Personalized PageRank: teleport (and dangling mass) go UNIFORMLY to
     the `seeds` vertex set instead of to all vertices — random walk with
@@ -292,14 +305,18 @@ def personalized_pagerank(
         raise ValueError("personalized_pagerank: no seed vertex exists in the graph")
 
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
-    # static across supersteps — lay out on the join key once (see pagerank)
-    trans = (
-        edges.join(out_w, "src")
-        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
-        .repartition("src")
-        .cache()
+    # static across supersteps — eager join-key layout only when the run is
+    # long enough to amortize it (see pagerank)
+    if stable_layout is None:
+        stable_layout = max_iter > 8
+    trans = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
     )
-    trans.count()
+    if stable_layout:
+        trans = trans.repartition("src")
+    trans = trans.cache()
+    if stable_layout:
+        trans.count()
     dangling = nodes.join(out_w, nodes.vertex == out_w.src, "left_anti").cache()
     has_dangling = dangling.count() > 0
 

@@ -126,7 +126,9 @@ class _SegmentedEngine:
 
         self.vc_done = int(cum_v[-1])
         self.ec_done = int(cum_e[-1])
-        self._drain(self.vc_done, self.ec_done, indices, indptr)
+        # sorted: preserves the ascending-id candidate order the former
+        # flatnonzero(bitmap) scan produced, so tie-breaks are unchanged
+        self._drain(self.vc_done, self.ec_done, indices, indptr, np.sort(vs[lows]))
 
     # -- stream phase: immediate partitioning of high-degree vertices with
     # *running* metrics (they're rare; per-vertex numpy is fine) -------------
@@ -191,7 +193,7 @@ class _SegmentedEngine:
             cfg.theta * (n_assigned / safe) + blens / cfg.buffer_degree_threshold
         )
 
-    def _drain(self, vc_now: int, ec_now: int, indices, indptr) -> None:
+    def _drain(self, vc_now: int, ec_now: int, indices, indptr, seg_lows: np.ndarray) -> None:
         k, S, cfg, gamma = self.k, self.S, self.cfg, self.gamma
         assign, sub_assign, sizes, sub_sizes = (
             self.assign,
@@ -210,15 +212,19 @@ class _SegmentedEngine:
         sub_thr = (1.0 + self.slack1) * v_eff / S
         ag = (k ** (gamma - 1.0) * vc_now / ec_now**gamma) * gamma if ec_now else 0.0
 
-        n_buf = int(buffered.sum())
+        # the buffered set is EXACTLY this segment's low rows (every prior
+        # segment drains to empty before the next begins), so candidate
+        # selection iterates the explicit per-segment list — per drain batch
+        # this is O(segment), never an O(V) scan of the global bitmap (which
+        # would make total drain cost quadratic in V at 10^9 vertices)
+        active = seg_lows[buffered[seg_lows]]
+        n_buf = active.shape[0]
         # adaptive batch: staleness is relative (B/n), so large graphs can
         # take proportionally larger batches at equal quality
         B = max(self.batch_size, n_buf // 128)
         while n_buf > 0:
             b = min(B, n_buf)
-            # select top-b among *buffered only* (argpartition over the
-            # compacted candidate set, not the full vertex range)
-            cand_idx = np.flatnonzero(buffered)
+            cand_idx = active
             if b < cand_idx.shape[0]:
                 sub = np.argpartition(-buf_score[cand_idx], b - 1)[:b]
                 cand = cand_idx[sub]
@@ -307,7 +313,8 @@ class _SegmentedEngine:
             nb_buf = nb[buffered[nb]]
             if nb_buf.shape[0]:
                 np.add.at(buf_score, nb_buf, cfg.theta / deg[nb_buf])
-            n_buf -= b
+            active = active[buffered[active]]
+            n_buf = active.shape[0]
 
     # -- finish ---------------------------------------------------------------
 
@@ -327,6 +334,7 @@ class _SegmentedEngine:
                 edge_src=(pair_keys // (k * S)).astype(np.int64),
                 edge_dst=(pair_keys % (k * S)).astype(np.int64),
                 edge_w=pair_w.astype(np.int64),
+                enable_eviction_plans=cfg.enable_eviction_plans,
             )
         )
         assign = self.assign
@@ -526,6 +534,7 @@ def cuttana_partition_df_spill(
     batch_size: int = 1024,
     dense_ids: bool = False,
     stats: dict | None = None,
+    spool_path: str | None = None,
 ) -> PartitionResult:
     """Out-of-core batched partitioning — the beyond-driver-RAM path.
 
@@ -551,6 +560,15 @@ def cuttana_partition_df_spill(
 
     Hub-chunked adjacency (a `chunk` column) is merged stream-side exactly as
     in the in-memory feeder.
+
+    ``spool_path``: where the adjacency is spooled. On any non-local master
+    this MUST be shared storage visible to both executors (who write the
+    part files) and the driver (whose pyarrow reader streams them back) —
+    e.g. an HDFS/S3/NFS path; a driver-local tempdir would silently read
+    only driver-local fragments. When omitted, a local tempdir is used and a
+    local[*] master is asserted. A caller-provided path is left in place
+    (the caller owns its lifecycle — it is also what a mid-ingest resume
+    would re-stream); the auto tempdir is removed on exit.
     """
     import shutil
     import tempfile
@@ -563,7 +581,17 @@ def cuttana_partition_df_spill(
 
     cfg = config or CuttanaConfig()
     adj_df, chunked = prepare_chunked_adjacency(adj_df)
-    tmp = tempfile.mkdtemp(prefix="cuttana_spill_")
+    if spool_path is None:
+        master = adj_df.sparkSession.sparkContext.master or ""
+        if not master.startswith("local"):
+            raise ValueError(
+                "cuttana_partition_df_spill: on a non-local master "
+                f"({master!r}) pass spool_path= on shared storage — a "
+                "driver-local tempdir would read only driver-local fragments"
+            )
+        tmp, own_tmp = tempfile.mkdtemp(prefix="cuttana_spill_"), True
+    else:
+        tmp, own_tmp = spool_path, False
     try:
         adj_df.write.mode("overwrite").parquet(tmp)
 
@@ -627,4 +655,5 @@ def cuttana_partition_df_spill(
             stats["n_vertices_state"] = n
         return engine.refine_and_result(acc_keys, acc_w, vertices)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if own_tmp:
+            shutil.rmtree(tmp, ignore_errors=True)

@@ -10,9 +10,13 @@ back-to-back identical PageRank runs at 14-77 s as leaked blocks accumulated
 — the round-2 scaling-noise root cause).
 
 CheckpointCycler tracks the persistent-RDD ids created by each checkpoint
-call (diff of sparkContext persistent RDDs around the eager materialization
-— the loops run single-threaded on the driver, so the diff is exactly the
-checkpoint's blocks) and unpersists generations once superseded. Two
+call: diff of sparkContext persistent RDDs around the eager materialization,
+RESTRICTED to locally-checkpointed RDDs. The restriction matters — an
+upstream `.cache()` whose fill job happens to be the first checkpoint's
+materialization (lazy caches register during their first job) would
+otherwise land in that generation and be blocking-unpersisted two
+checkpoints later, silently de-caching a live input for the rest of the
+loop. Generations are unpersisted once superseded. Two
 generations stay live by default: convergence tests join the new state
 against the previous one, so the parent must survive one extra round;
 anything older is provably unreachable — the new checkpoint cut its lineage.
@@ -42,6 +46,12 @@ class CheckpointCycler:
     def _persistent_ids(self) -> set[int]:
         return set(self._sc._jsc.getPersistentRDDs().keys())
 
+    def _local_checkpoint_ids(self) -> set[int]:
+        # only RDDs whose checkpointData is a LocalRDDCheckpointData — an
+        # upstream .cache() filling lazily inside a checkpoint job is NOT ours
+        jmap = self._sc._jsc.getPersistentRDDs()
+        return {rid for rid in jmap.keys() if jmap[rid].rdd().isLocallyCheckpointed()}
+
     def _release(self, ids: set[int]) -> None:
         jmap = self._sc._jsc.getPersistentRDDs()
         for rid in ids:
@@ -51,7 +61,7 @@ class CheckpointCycler:
     def checkpoint(self, df: DataFrame) -> DataFrame:
         before = self._persistent_ids()
         out = df.localCheckpoint(eager=True)
-        self._gens.append(self._persistent_ids() - before)
+        self._gens.append(self._local_checkpoint_ids() - before)
         while len(self._gens) > self._keep:
             self._release(self._gens.pop(0))
         return out

@@ -328,3 +328,30 @@ def test_iterative_checkpoints_do_not_accumulate(spark):
     before = n_pinned()
     connected_components(spark, edges).collect()
     assert n_pinned() - before <= 3  # final edge fixpoint + nodes cache
+
+
+def test_cycler_spares_upstream_cache_filled_inside_checkpoint_job(spark):
+    """An upstream .cache() registers its RDD lazily during its FIRST job —
+    which here is the first checkpoint's eager materialization. The cycler
+    must not attribute that cached RDD to a checkpoint generation (it would
+    be blocking-unpersisted two checkpoints later, silently de-caching a
+    live input for every remaining round — the k-core peel regression)."""
+    from pyspark.sql import functions as F
+
+    from cuttana_spark.plans.checkpoints import CheckpointCycler
+
+    sc = spark.sparkContext
+    pinned = lambda: set(sc._jsc.getPersistentRDDs().keys())
+
+    base = spark.range(500).select(F.col("id").alias("v")).cache()  # lazy
+    ck = CheckpointCycler(spark)
+    before = pinned()
+    state = ck.checkpoint(base.select("v"))  # cache fill happens in this job
+    cache_ids = (pinned() - before) - ck._gens[0]
+    assert cache_ids, "expected the lazily-filled cache to register here"
+    assert ck._gens[0], "checkpoint generation must track its own RDD"
+    for i in range(4):  # enough rounds to retire generation 0 twice over
+        state = ck.checkpoint(state.select((F.col("v") + 1).alias("v")))
+    assert cache_ids <= pinned(), "upstream cache was unpersisted by the cycler"
+    state.collect()
+    base.unpersist(True)

@@ -266,3 +266,22 @@ def test_spill_mode_golden_band_ba10k(spark, ba10k):
     res = cuttana_partition_df_spill(df, 4)
     assert res.edge_cut_ratio <= GOLDEN[("ba10k", 4)] * 1.10
     assert res.balance <= 1.05 * 1.12
+
+
+def test_spill_mode_explicit_spool_path(spark, tmp_path):
+    """A caller-provided spool_path (the shared-storage mode for non-local
+    masters) is used for the spool and left in place afterwards — its
+    contents are what a mid-ingest resume would re-stream."""
+    import os
+
+    from cuttana_spark.partition.batched import cuttana_partition_df_spill
+
+    adj = _ba(2000)
+    df = _adj_df(spark, adj)
+    cfg = CuttanaConfig(max_buffer_size=400)
+    base = cuttana_partition_df_spill(df, 4, config=cfg)
+    spool = str(tmp_path / "spool")
+    res = cuttana_partition_df_spill(df, 4, config=cfg, spool_path=spool)
+    assert np.array_equal(res.partitions, base.partitions)
+    assert os.path.isdir(spool)  # caller owns the lifecycle
+    assert any(f.endswith(".parquet") for f in os.listdir(spool))
