@@ -167,20 +167,21 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
-def adjacency(edges: DataFrame, max_nbrs_per_row: int | None = None) -> DataFrame:
+def adjacency(edges: DataFrame, max_nbrs_per_row: int | None = 65536) -> DataFrame:
     """Symmetric adjacency (src, nbrs sorted array) — the reference's
     VertexStream shape (/root/reference/src/stream.rs:11).
 
     Hub safety: a collect_list row holds a vertex's WHOLE neighbor list — a
     degree-10^8 hub becomes one ~800 MB array cell and OOMs its executor.
-    Pass `max_nbrs_per_row` to split each vertex's neighbors into
-    ceil(degree / cap) hash-of-dst chunks (extra `chunk` column, one row per
-    chunk, expected chunk size ~cap): no giant rows, and the chunk
-    hash-partition keeps every dst in exactly one chunk so the multiset of
-    neighbors is unchanged. Chunked adjacency is reassembled stream-side by
-    the partitioner ingest (core.iter_adjacency_batches merge path), which
-    requires rows of one src to be CONTIGUOUS — the partitioner entry points
-    sort by (src, chunk) when they see the `chunk` column."""
+    `max_nbrs_per_row` (DEFAULT 2^16, matching walks.walk_adjacency — pass
+    None only when giant rows are provably impossible) splits each vertex's
+    neighbors into ceil(degree / cap) hash-of-dst chunks (extra `chunk`
+    column, one row per chunk, expected chunk size ~cap): no giant rows, and
+    the chunk hash-partition keeps every dst in exactly one chunk so the
+    multiset of neighbors is unchanged. Chunked adjacency is reassembled
+    stream-side by the partitioner ingest (core.iter_adjacency_batches merge
+    path), which requires rows of one src to be CONTIGUOUS — the partitioner
+    entry points sort by (src, chunk) when they see the `chunk` column."""
     sym = symmetrize(edges)
     if max_nbrs_per_row is None:
         return sym.groupBy("src").agg(F.array_sort(F.collect_list("dst")).alias("nbrs"))

@@ -24,6 +24,10 @@ class CuttanaConfig:
     theta: float = 2.0
     info_gain_threshold: int = 0
     seed: int = 42
+    # paper Case-2 eviction plans in refinement: measured ±0.3% cut for up
+    # to 9× the refinement wall on the BA goldens (BENCH_EVICTIONS_r3.json)
+    # — off by default, on for full-paper-semantics parity runs
+    enable_eviction_plans: bool = False
 
     def __post_init__(self):
         if self.balance_slack < 0.0:

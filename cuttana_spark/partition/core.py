@@ -205,6 +205,7 @@ class CuttanaPartitioner:
                 edge_src=src,
                 edge_dst=dst,
                 edge_w=w,
+                enable_eviction_plans=self.cfg.enable_eviction_plans,
             )
         )
         self.moves = refiner.moves

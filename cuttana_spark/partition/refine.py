@@ -47,6 +47,10 @@ class RefineInput:
     edge_src: np.ndarray  # (E,) gsub ids
     edge_dst: np.ndarray  # (E,) gsub ids
     edge_w: np.ndarray  # (E,) weights
+    # 2-move eviction plans (paper Case 2): measured ±0.3% cut on the BA
+    # goldens for up to 9× the refinement wall (BENCH_EVICTIONS_r3.json) —
+    # default OFF; parity tests flip it on to exercise the full semantics
+    enable_eviction_plans: bool = False
 
 
 class Refiner:
@@ -301,13 +305,17 @@ def run_refinement(inp: RefineInput) -> Refiner:
     """fix_balance → (refine ⇄ eviction plans) → fix_balance
     (/root/reference/src/cuttana.rs:54-56; Case-2 eviction plans from
     refine.rs:131-147). Eviction plans can unlock further single moves, so
-    the two alternate until neither improves."""
+    the two alternate until neither improves. With eviction plans disabled
+    (the default — see RefineInput.enable_eviction_plans) the loop is a
+    single refine() pass, which the measurement says loses nothing."""
     r = Refiner(inp)
     r.fix_balance()
-    for _ in range(4):
-        m1 = r.refine()
-        m2 = r.refine_evictions()
-        if m2 == 0:
-            break
+    if inp.enable_eviction_plans:
+        for _ in range(4):
+            r.refine()
+            if r.refine_evictions() == 0:
+                break
+    else:
+        r.refine()
     r.fix_balance()
     return r

@@ -3,9 +3,9 @@
 (single moves + eviction plans alternating) and with eviction plans disabled
 (round-1 behavior), report the EXACT post-hoc edge-cut ratio for both.
 
-Eviction plans are disabled by stubbing Refiner.refine_evictions — a
-measurement-only switch, the product always runs the full pipeline
-(refine.run_refinement).
+Its round-3 measurement (BENCH_EVICTIONS_r3.json: ±0.3% cut for up to 9×
+refinement wall) is why CuttanaConfig.enable_eviction_plans now defaults
+OFF; the switch here is that config flag.
 
 Usage: python jobs/bench_evictions.py   (prints one JSON line)
 """
@@ -18,10 +18,8 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-import numpy as np
-
-from cuttana_spark.partition import refine as R
 from cuttana_spark.partition.batched import cuttana_partition_batched
+from cuttana_spark.partition.config import CuttanaConfig
 
 
 def _ba(n, m=5, seed=42):
@@ -44,15 +42,10 @@ def exact_cut(adj, res) -> float:
 
 
 def run(adj, k: int, evictions: bool) -> dict:
-    orig = R.Refiner.refine_evictions
-    if not evictions:
-        R.Refiner.refine_evictions = lambda self, max_rounds=64: 0
-    try:
-        t0 = time.monotonic()
-        res = cuttana_partition_batched(adj, k)
-        dt = time.monotonic() - t0
-    finally:
-        R.Refiner.refine_evictions = orig
+    cfg = CuttanaConfig(enable_eviction_plans=evictions)
+    t0 = time.monotonic()
+    res = cuttana_partition_batched(adj, k, config=cfg)
+    dt = time.monotonic() - t0
     return {
         "cut_exact": round(exact_cut(adj, res), 5),
         "balance": round(res.balance, 4),

@@ -67,7 +67,13 @@ def test_eviction_plan_unblocks_the_move():
 
 
 def test_run_refinement_end_to_end_applies_eviction_plans():
+    import dataclasses
+
     inp, edges = _mk_input()
+    # eviction plans default OFF (±0.3% cut for up to 9× wall on the BA
+    # goldens): the capacity-blocked fixture stays at cut 18
+    assert _cut(run_refinement(inp).parents, edges) == 18
+    inp = dataclasses.replace(inp, enable_eviction_plans=True)
     r = run_refinement(inp)
     assert _cut(r.parents, edges) == 13
     # W matrix bookkeeping stayed exact through both moves: recompute from
