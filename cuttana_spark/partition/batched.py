@@ -102,6 +102,33 @@ class _SegmentedEngine:
         self.cut_count = 0
         self.max_resident_edges = 0
 
+    # -- segment-boundary state (checkpoint/resume) ---------------------------
+    # Between segments the buffer is empty (every segment drains fully) and
+    # deg/row_of are per-segment scratch, so the complete carry-over state is
+    # the assignment arrays + running totals below.
+
+    def state_dict(self) -> dict:
+        return {
+            "assign": self.assign,
+            "sub_assign": self.sub_assign,
+            "sizes": self.sizes,
+            "sub_sizes": self.sub_sizes,
+            "vc_done": np.int64(self.vc_done),
+            "ec_done": np.int64(self.ec_done),
+            "cut_count": np.int64(self.cut_count),
+            "max_resident_edges": np.int64(self.max_resident_edges),
+        }
+
+    def load_state(self, st: dict) -> None:
+        self.assign = np.asarray(st["assign"], np.int32)
+        self.sub_assign = np.asarray(st["sub_assign"], np.int32)
+        self.sizes = np.asarray(st["sizes"], np.int64)
+        self.sub_sizes = np.asarray(st["sub_sizes"], np.int64)
+        self.vc_done = int(st["vc_done"])
+        self.ec_done = int(st["ec_done"])
+        self.cut_count = int(st["cut_count"])
+        self.max_resident_edges = int(st["max_resident_edges"])
+
     # -- per-segment driver ---------------------------------------------------
 
     def run_segment(self, vs: np.ndarray, lens: np.ndarray, indices: np.ndarray) -> None:
@@ -527,6 +554,66 @@ def cuttana_partition_df_batched(
     return p.finish()
 
 
+class SpillIngestCheckpoint:
+    """Segment-boundary checkpoint for the spill partitioner's O(V) state.
+
+    Same atomicity discipline as plans/warehouse.Warehouse (the Iceberg-
+    shaped snapshot store): the .npz is written to a tmp name and moved into
+    place with os.replace, so a crash mid-save leaves the previous committed
+    state intact and a reader never observes a half-written file. One state
+    file suffices — each save strictly supersedes the last (pass B is the
+    one intentionally-sequential stage; segments are a linear history).
+
+    The fingerprint (k, batch size, config repr, dense_ids, n) guards
+    against resuming onto a different graph or configuration: segment
+    boundaries and scores are functions of those, so a mismatch would
+    silently corrupt the output — it raises instead.
+    """
+
+    def __init__(self, path: str, fingerprint: str):
+        import os
+
+        self.dir = path
+        self.file = os.path.join(path, "spill_state.npz")
+        self.fingerprint = fingerprint
+        os.makedirs(path, exist_ok=True)
+
+    def load(self) -> tuple[int, dict] | None:
+        """-> (segments_done, state arrays) or None if no checkpoint."""
+        import os
+
+        if not os.path.exists(self.file):
+            return None
+        with np.load(self.file, allow_pickle=False) as z:
+            st = {k: z[k] for k in z.files}
+        saved_fp = str(st.pop("fingerprint"))
+        if saved_fp != self.fingerprint:
+            raise ValueError(
+                "SpillIngestCheckpoint: fingerprint mismatch — checkpoint was "
+                f"written by a different graph/config ({saved_fp!r} != "
+                f"{self.fingerprint!r}); refusing to resume"
+            )
+        return int(st.pop("segments_done")), st
+
+    def save(self, segments_done: int, state: dict) -> None:
+        import os
+
+        tmp = self.file + ".tmp.npz"  # .npz suffix: savez appends it otherwise
+        np.savez(
+            tmp,
+            segments_done=np.int64(segments_done),
+            fingerprint=np.str_(self.fingerprint),
+            **state,
+        )
+        os.replace(tmp, self.file)  # atomic commit point
+
+    def clear(self) -> None:
+        import os
+
+        if os.path.exists(self.file):
+            os.remove(self.file)
+
+
 def cuttana_partition_df_spill(
     adj_df,
     num_partitions: int,
@@ -535,6 +622,8 @@ def cuttana_partition_df_spill(
     dense_ids: bool = False,
     stats: dict | None = None,
     spool_path: str | None = None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 1,
 ) -> PartitionResult:
     """Out-of-core batched partitioning — the beyond-driver-RAM path.
 
@@ -569,7 +658,20 @@ def cuttana_partition_df_spill(
     local[*] master is asserted. A caller-provided path is left in place
     (the caller owns its lifecycle — it is also what a mid-ingest resume
     would re-stream); the auto tempdir is removed on exit.
+
+    ``checkpoint_path``: enable segment-boundary checkpoint/resume for pass
+    B, the one intentionally-sequential stage (at 10^12-edge ingests it is
+    days of wall — a driver crash should not restart it from zero). After
+    every ``checkpoint_every``-th completed segment the O(V) state arrays
+    are committed atomically (SpillIngestCheckpoint); a rerun with the same
+    checkpoint_path + spool_path restores them and skips the committed
+    segments, producing BIT-IDENTICAL output to an uninterrupted run
+    (tested). Requires an explicit spool_path (the spool must survive the
+    crash — it is re-streamed, not re-written, when its _SUCCESS marker
+    exists). Reusing the paths across DIFFERENT inputs/configs is guarded by
+    a state fingerprint, but a stale spool is the caller's to clean.
     """
+    import os
     import shutil
     import tempfile
 
@@ -581,6 +683,12 @@ def cuttana_partition_df_spill(
 
     cfg = config or CuttanaConfig()
     adj_df, chunked = prepare_chunked_adjacency(adj_df)
+    if checkpoint_path is not None and spool_path is None:
+        raise ValueError(
+            "cuttana_partition_df_spill: checkpoint_path requires an explicit "
+            "spool_path — resume re-streams the spool, so it must outlive the "
+            "crashed process"
+        )
     if spool_path is None:
         master = adj_df.sparkSession.sparkContext.master or ""
         if not master.startswith("local"):
@@ -593,7 +701,8 @@ def cuttana_partition_df_spill(
     else:
         tmp, own_tmp = spool_path, False
     try:
-        adj_df.write.mode("overwrite").parquet(tmp)
+        if checkpoint_path is None or not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            adj_df.write.mode("overwrite").parquet(tmp)
 
         def raw_batches():
             for src, offsets, values in iter_spool_batches(tmp):
@@ -627,15 +736,30 @@ def cuttana_partition_df_spill(
 
         to_dense = (lambda a: a) if uniq is None else (lambda a: np.searchsorted(uniq, a))
 
-        # ---- pass B: segment loop
+        # ---- pass B: segment loop (checkpoint/resume at segment boundaries)
         engine = _SegmentedEngine(num_partitions, cfg, batch_size, n)
+        ck = None
+        seg_done = 0
+        if checkpoint_path is not None:
+            fp = (
+                f"k={num_partitions};batch={batch_size};cfg={cfg!r};"
+                f"dense={dense_ids};n={n}"
+            )
+            ck = SpillIngestCheckpoint(checkpoint_path, fp)
+            loaded = ck.load()
+            if loaded is not None:
+                seg_done, st = loaded
+                engine.load_state(st)
         cap = int(cfg.max_buffer_size) if cfg.max_buffer_size else 0
         n_segments = 0
         dense_stream = (
             (to_dense(src), lens, to_dense(values)) for src, lens, values in merged_batches()
         )
         for seg in _iter_drain_segments(dense_stream, cap, cfg.buffer_degree_threshold):
-            engine.run_segment(*seg)
+            if n_segments >= seg_done:  # committed segments are skipped
+                engine.run_segment(*seg)
+                if ck is not None and (n_segments + 1) % max(1, checkpoint_every) == 0:
+                    ck.save(n_segments + 1, engine.state_dict())
             n_segments += 1
 
         # ---- pass C: exact sub↔sub edge rebuild, merged incrementally
@@ -653,7 +777,11 @@ def cuttana_partition_df_spill(
             stats["max_resident_edges"] = engine.max_resident_edges
             stats["n_segments"] = n_segments
             stats["n_vertices_state"] = n
-        return engine.refine_and_result(acc_keys, acc_w, vertices)
+            stats["resumed_from_segment"] = seg_done
+        res = engine.refine_and_result(acc_keys, acc_w, vertices)
+        if ck is not None:
+            ck.clear()  # completed: a rerun starts fresh
+        return res
     finally:
         if own_tmp:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -285,3 +285,84 @@ def test_spill_mode_explicit_spool_path(spark, tmp_path):
     assert np.array_equal(res.partitions, base.partitions)
     assert os.path.isdir(spool)  # caller owns the lifecycle
     assert any(f.endswith(".parquet") for f in os.listdir(spool))
+
+
+def test_spill_checkpoint_resume_bit_identical(spark, tmp_path):
+    """Kill the spill ingest after 4 committed segments, resume from the
+    checkpoint, and get BIT-IDENTICAL output to an uninterrupted run (the
+    same bar as test_cc_resume.py for the superstep loops)."""
+    import os
+
+    from cuttana_spark.partition.batched import (
+        _SegmentedEngine,
+        cuttana_partition_df_spill,
+    )
+
+    adj = _ba(6000)
+    df = _adj_df(spark, adj)
+    cfg = CuttanaConfig(max_buffer_size=500)
+    base = cuttana_partition_df_spill(df, 8, config=cfg)
+
+    spool, ckdir = str(tmp_path / "spool"), str(tmp_path / "ck")
+    calls = {"n": 0}
+    orig = _SegmentedEngine.run_segment
+
+    def dying(self, *a):
+        if calls["n"] == 4:
+            raise RuntimeError("injected driver crash")
+        calls["n"] += 1
+        return orig(self, *a)
+
+    _SegmentedEngine.run_segment = dying
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            cuttana_partition_df_spill(
+                df, 8, config=cfg, spool_path=spool, checkpoint_path=ckdir
+            )
+    finally:
+        _SegmentedEngine.run_segment = orig
+
+    stats: dict = {}
+    res = cuttana_partition_df_spill(
+        df, 8, config=cfg, spool_path=spool, checkpoint_path=ckdir, stats=stats
+    )
+    assert stats["resumed_from_segment"] == 4  # committed work not redone
+    assert np.array_equal(res.vertices, base.vertices)
+    assert np.array_equal(res.partitions, base.partitions)
+    assert np.array_equal(res.sub_partitions, base.sub_partitions)
+    assert res.cut_count == base.cut_count
+    # completed: checkpoint cleared so a rerun starts fresh
+    assert not os.path.exists(os.path.join(ckdir, "spill_state.npz"))
+
+
+def test_spill_checkpoint_fingerprint_guard(spark, tmp_path):
+    """Resuming onto a different graph/config must refuse, not corrupt."""
+    from cuttana_spark.partition.batched import (
+        _SegmentedEngine,
+        cuttana_partition_df_spill,
+    )
+
+    df = _adj_df(spark, _ba(3000))
+    cfg = CuttanaConfig(max_buffer_size=400)
+    spool, ckdir = str(tmp_path / "spool"), str(tmp_path / "ck")
+    calls = {"n": 0}
+    orig = _SegmentedEngine.run_segment
+
+    def dying(self, *a):
+        if calls["n"] == 2:
+            raise RuntimeError("injected driver crash")
+        calls["n"] += 1
+        return orig(self, *a)
+
+    _SegmentedEngine.run_segment = dying
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            cuttana_partition_df_spill(
+                df, 4, config=cfg, spool_path=spool, checkpoint_path=ckdir
+            )
+    finally:
+        _SegmentedEngine.run_segment = orig
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        cuttana_partition_df_spill(
+            df, 8, config=cfg, spool_path=spool, checkpoint_path=ckdir
+        )
