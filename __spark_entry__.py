@@ -15,9 +15,10 @@ Conventions used so Spark and DuckDB hash identically:
   * hashes are the portable md5-prefix-to-bigint (identical expressions);
   * timestamps are never returned raw — epoch seconds instead.
 
-Non-SQL-expressible ops (iterative CC/LPA at convergence, partitioner,
-CSR PageRank, multimodal) are registered without oracles → rows-only checks;
-their exactness is covered by tests/ against networkx / numpy oracles.
+Every registered query now carries an oracle (round 4: multimodal's
+fake-codec nibble histogram is reproduced in DuckDB via hex(encode(text)));
+iterative ops (CC/LPA at convergence, partitioner, CSR PageRank) use
+unrolled/invariant SQL plus tests/ against networkx / numpy oracles.
 """
 
 from __future__ import annotations
@@ -1099,16 +1100,51 @@ def _q_ivf_ann_full(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing (rows-only; codec stubbed — see operators/multimodal)."""
-    from cuttana_spark.operators.multimodal import extract_features, synth_media
+    """Multimodal pipeline over real binary payloads (UTF-8 bytes of the
+    documents table), features via the Arrow mapInPandas fake codec — the
+    deterministic byte-nibble histogram IS oracle-checkable: DuckDB sees the
+    identical byte stream through hex(encode(text)). Codecs themselves stay
+    env-stubbed (operators/multimodal._decode). Output: per-media byte count
+    + exact per-nibble-bin counts recovered from the normalized float32
+    feature (feature[b]·n_bytes rounds to the integer count; float32 rel
+    error ~6e-8 is orders below 0.5)."""
+    from cuttana_spark.operators.multimodal import extract_features, media_from_documents
 
-    media = synth_media(spark, n=48)
+    media = media_from_documents(_read(spark, sf_dir, "documents"))
     feats = extract_features(media, fake=True)
-    return feats.select(
+    lens = media.select("media_id", F.length("payload").cast("long").alias("n_bytes"))
+    return feats.join(lens, "media_id").select(
         "media_id",
         "kind",
-        F.round(F.element_at("feature", 1) * 1e6).cast("long").alias("f0_e6"),
+        "n_bytes",
+        *[
+            F.round(F.element_at("feature", b + 1) * F.col("n_bytes"))
+            .cast("long")
+            .alias(f"nib{b}")
+            for b in (2, 3, 6, 7)
+        ],
     )
+
+
+# high nibble of byte j = char 2j of hex(payload); '(.).' -> '\1' keeps
+# exactly those chars, then counting hex digit b counts bytes in bin b
+_MULTIMODAL_SQL = r"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         regexp_replace(hex(encode(text)), '(.).', '\1', 'g') AS nib,
+         octet_length(encode(text)) AS tot
+  FROM documents
+)
+SELECT media_id, kind, CAST(tot AS BIGINT) AS n_bytes,
+       CAST(length(nib) - length(replace(nib, '2', '')) AS BIGINT) AS nib2,
+       CAST(length(nib) - length(replace(nib, '3', '')) AS BIGINT) AS nib3,
+       CAST(length(nib) - length(replace(nib, '6', '')) AS BIGINT) AS nib6,
+       CAST(length(nib) - length(replace(nib, '7', '')) AS BIGINT) AS nib7
+FROM m
+"""
 
 
 
@@ -1860,8 +1896,10 @@ def oracle_sql() -> dict[str, str]:
         "partition_transcripts": _PARTITION_SQL,
         "partition_spill_transcripts": _PARTITION_SPILL_SQL,
         "ivf_ann": _IVF_ANN_SQL,
-        # multimodal_features: rows-only (codecs are env-blocked in this
-        # sandbox; the plumbing is exercised via the fake=True path)
+        # real codecs stay env-blocked, but the fake-codec feature (byte
+        # nibble histogram) is a pure function of the payload bytes, which
+        # DuckDB reproduces from hex(encode(text))
+        "multimodal_features": _MULTIMODAL_SQL,
     }
 
 

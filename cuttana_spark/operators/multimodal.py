@@ -53,6 +53,34 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Wrap the documents table as a media table: payload = the UTF-8 bytes
+    of `text` (a real binary column through real Arrow plumbing), typed
+    metadata derived deterministically from doc_id. This gives the media
+    pipeline an input whose fake-codec features are reproducible by an
+    external oracle (the byte stream is pure UTF-8 — DuckDB's
+    hex(encode(text)) sees the identical bytes)."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    mime = (
+        F.when(kind == "image", F.lit("image/png"))
+        .when(kind == "audio", F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        mime.alias("mime"),
+        F.when(kind != "audio", (64 + F.col("doc_id") % 32).cast("int")).alias("width"),
+        F.when(kind != "audio", (64 + F.col("doc_id") % 16).cast("int")).alias("height"),
+        F.when(kind != "image", (1000 + F.col("doc_id") * 10).cast("int")).alias("duration_ms"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
 def _decode(payload: bytes, kind: str, fake: bool) -> np.ndarray:
     if not fake:
         raise NotImplementedError(

@@ -140,6 +140,28 @@ def test_multimodal_features(spark):
     assert frames.schema.simpleString() == "struct<media_id:bigint,frame_ts_ms:int,frame:binary>"
 
 
+def test_media_from_documents_nibble_histogram_exact(spark):
+    """media_from_documents payload = UTF-8 bytes of text; the fake-codec
+    feature must equal the numpy nibble histogram of those bytes exactly
+    (this byte-level equality is what the driver's DuckDB oracle relies on
+    via hex(encode(text)))."""
+    from cuttana_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(0, "hello WORLD 123!"), (1, "naïve café — ünïcode"), (2, "")],
+        "doc_id long, text string",
+    )
+    media = M.media_from_documents(docs)
+    rows = {r.media_id: r for r in media.collect()}
+    assert rows[0].kind == "image" and rows[1].kind == "audio" and rows[2].kind == "video"
+    feats = {r.media_id: r.feature for r in M.extract_features(media, fake=True).collect()}
+    for i, text in ((0, "hello WORLD 123!"), (1, "naïve café — ünïcode"), (2, "")):
+        b = np.frombuffer(text.encode("utf-8"), np.uint8)
+        hist = np.bincount(b >> 4, minlength=16).astype(np.float32)
+        want = hist / hist.sum() if hist.sum() else hist
+        assert np.allclose(feats[i], want, atol=1e-7)
+
+
 def test_embedding_near_dups_bucketed_equals_brute_force_on_tight_dups(spark):
     """At near-dup thresholds (cosine >= 0.98) the LSH-bucketed operator must
     find exactly the pairs brute force finds: clusters of tiny perturbations
