@@ -60,8 +60,41 @@ def pagerank(
     upfront repartition+count amortizes over many supersteps — default is
     on for long/tol-driven runs (tol > 0 or max_iter > 8) and off for short
     fixed-iteration runs, where the upfront cost would dominate the wall.
+
+    AQE: when every superstep materializes as its own job
+    (checkpoint_interval=1 or tol-driven), adaptive execution re-plans the
+    SAME fixed-shape query each superstep — each one splits into 3 driver
+    jobs (2 AQE sub-jobs + the checkpoint job) and the coalesced output
+    layout forces a fresh frontier exchange next round. Measured on the
+    10.5M-edge fixture at local[32]: 2.38 s/superstep with AQE vs 1.60 s
+    without (local[8]: 3.02 vs 2.71). The loop therefore disables AQE for
+    its own queries in that mode and restores the session setting on exit;
+    lazily-chained fixed-iteration runs (one DAG) keep the session setting —
+    there AQE measures slightly BETTER (15.3 s vs 16.8 s for 5 chained
+    supersteps). Skew safety inside the loop comes from the plan itself
+    (map-side partial aggregation bounds hub fan-in), not AQE.
     """
     import time as _time
+
+    per_superstep_jobs = checkpoint_interval == 1 or tol > 0
+    aqe_saved = None
+    if per_superstep_jobs:
+        aqe_saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _pagerank_impl(
+            spark, edges, alpha, max_iter, tol, runner, checkpoint_interval,
+            iter_walls, stable_layout, _time,
+        )
+    finally:
+        if aqe_saved is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_saved)
+
+
+def _pagerank_impl(
+    spark, edges, alpha, max_iter, tol, runner, checkpoint_interval,
+    iter_walls, stable_layout, _time,
+):
     edges = edges.select("src", "dst", F.col("weight").cast("double"))
     nodes = _nodes(edges).cache()
     n = nodes.count()

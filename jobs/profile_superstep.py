@@ -154,16 +154,30 @@ def main() -> None:
     assert res, out.stderr[-3000:]
     ev = parse_eventlog(evdir)
 
-    # One superstep at checkpoint_interval=1 executes as THREE driver jobs
-    # (observed in the event log): two AQE sub-jobs (the contribs exchange +
-    # agg, then the nodes join re-plan) and the localCheckpoint job that
-    # materializes the new state. Group the last 3*iters completed jobs into
-    # triplets and drop the first 4 supersteps (JIT/codegen warmup, same
-    # convention as bench_scaling).
+    # One superstep at checkpoint_interval=1 executes as one or more driver
+    # jobs ENDING with the localCheckpoint job that materializes the new
+    # state (with AQE enabled each query stage is its own sub-job — observed
+    # 3 jobs/superstep; with AQE disabled, the loop's default now, the whole
+    # superstep is the single localCheckpoint job). Group jobs into
+    # supersteps at localCheckpoint boundaries, keep the last `iters` groups,
+    # drop the first 4 (JIT/codegen warmup, same convention as
+    # bench_scaling).
     jobs = [j for j in ev["jobs"] if "t1" in j]
-    trip = jobs[-3 * iters:]
-    triplets = [trip[i : i + 3] for i in range(0, len(trip), 3)][4:]
     stages = ev["stages"]
+
+    def is_ckpt_job(j):
+        return any(
+            stages.get(s, {}).get("name") == "localCheckpoint" for s in j["stages"]
+        )
+
+    groups = []
+    cur = []
+    for j in jobs:
+        cur.append(j)
+        if is_ckpt_job(j):
+            groups.append(cur)
+            cur = []
+    triplets = groups[-iters:][4:]
 
     def ms(x):
         return round(x / 1000.0, 3)
@@ -265,7 +279,9 @@ def main() -> None:
         "cpus": cpus,
         "edges": res["edges"],
         "walls": res["walls"],
-        "jobs_per_superstep": 3,
+        "jobs_per_superstep": round(
+            statistics.median(s["n_jobs"] for s in steps)
+        ),
         "median_superstep_wall_sec": med_wall,
         "median_stage_wall_sec": med_stage,
         "median_driver_gap_sec": med_gap,

@@ -51,6 +51,13 @@ def main() -> None:
         pmed = statistics.median(pooled)
         mad = statistics.median([abs(w - pmed) for w in pooled])
         robust_cv = 1.4826 * mad / pmed
+        # One-sided-contamination estimators: co-tenant stalls only ADD wall
+        # time (a superstep can be slowed by external load, never sped up),
+        # so under heavy interference a LOW quantile is the right location
+        # estimate for the engine's capability — same rationale as the aux
+        # workers' best-of-3. Reported alongside, never silently substituted.
+        p25 = statistics.quantiles(pooled, n=4)[0] if len(pooled) > 3 else pmed
+        best_rep = min(meds)
         return {
             "reps": len(all_walls),
             "rep_medians": [round(m, 3) for m in meds],
@@ -62,28 +69,31 @@ def main() -> None:
             "pooled_samples": len(pooled),
             "sec_per_superstep_pooled_median": round(pmed, 3),
             "robust_cv_pooled": round(robust_cv, 4),
+            "sec_per_superstep_pooled_p25": round(p25, 3),
+            "sec_per_superstep_best_rep": round(best_rep, 3),
             "supersteps_per_sec": round(1.0 / pmed, 4),
             "edges_per_sec": round(edges / pmed, 1) if edges else None,
         }
 
     levels = {c: stats(c) for c in (2, 8, 32)}
 
-    def eff(a: int, b: int) -> float:
-        return round(
-            (levels[a]["sec_per_superstep_pooled_median"] / levels[b]["sec_per_superstep_pooled_median"])
-            / (b / a),
-            3,
-        )
+    def eff(a: int, b: int, key: str = "sec_per_superstep_pooled_median") -> float:
+        return round((levels[a][key] / levels[b][key]) / (b / a), 3)
 
     out = {
         "metric": "pagerank_scaling_efficiency_N_to_4N",
         "value": eff(2, 8),
         "unit": "ratio",
-        "method": main.get("method", "") + "; re-summarized over 7 reps with "
-        "pooled per-superstep median + MAD robust CV (jobs/summarize_scaling.py)",
+        "method": main.get("method", "") + "; re-summarized over all reps with "
+        "pooled per-superstep median + MAD robust CV, plus one-sided-noise "
+        "p25/best-rep estimators (jobs/summarize_scaling.py)",
         "pagerank": {f"local[{c}]": levels[c] for c in (2, 8, 32)},
         "pagerank_efficiency_2_to_8": eff(2, 8),
         "pagerank_efficiency_8_to_32": eff(8, 32),
+        "pagerank_efficiency_2_to_8_p25": eff(2, 8, "sec_per_superstep_pooled_p25"),
+        "pagerank_efficiency_8_to_32_p25": eff(8, 32, "sec_per_superstep_pooled_p25"),
+        "pagerank_efficiency_2_to_8_best_rep": eff(2, 8, "sec_per_superstep_best_rep"),
+        "pagerank_efficiency_8_to_32_best_rep": eff(8, 32, "sec_per_superstep_best_rep"),
         "minhash_efficiency_8_to_32": main.get("minhash_efficiency_8_to_32"),
         "kernel_efficiency_8_to_32": main.get("kernel_efficiency_8_to_32"),
         "kernel_efficiency_2_to_8": main.get("kernel_efficiency_2_to_8"),
