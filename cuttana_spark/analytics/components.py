@@ -70,25 +70,32 @@ def connected_components(
             start, e = resumed
             e = ck.checkpoint(e)
 
-    def _sig(df) -> tuple:
+    def _sig(df, canonical: bool = False) -> tuple:
         # order-insensitive canonical-edge-set signature: one cheap aggregate
-        # per round instead of a union+groupBy over both generations
-        row = (
-            df.select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
-            .distinct()
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                # decimal sum: exact and overflow-free under ANSI mode
-                F.sum(F.xxhash64("x", "y").cast("decimal(38,0)")).alias("h"),
-            )
-            .first()
-        )
+        # per round instead of a union+groupBy over both generations.
+        # canonical=True: the rows are already distinct with b < a (exactly
+        # what _small_star emits), so the least/greatest + distinct pass —
+        # a full extra shuffle of the edge set per round — is skipped and
+        # the signature is a single aggregate over (b, a).
+        if canonical:
+            x, y = F.col("b"), F.col("a")
+            src = df
+        else:
+            src = df.select(
+                F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+            ).distinct()
+            x, y = F.col("x"), F.col("y")
+        row = src.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # decimal sum: exact and overflow-free under ANSI mode
+            F.sum(F.xxhash64(x, y).cast("decimal(38,0)")).alias("h"),
+        ).first()
         return (row.cnt, row.h)
 
     prev_sig = _sig(e)
     for rnd in range(start, max_rounds):
         e2 = ck.checkpoint(_small_star(_large_star(e)))
-        sig = _sig(e2)
+        sig = _sig(e2, canonical=True)
         changed = sig != prev_sig
         prev_sig = sig
         e = e2
