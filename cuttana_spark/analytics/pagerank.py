@@ -97,44 +97,69 @@ def _pagerank_impl(
 ):
     edges = edges.select("src", "dst", F.col("weight").cast("double"))
     nodes = _nodes(edges).cache()
-    n = nodes.count()
+    # ONE driver action fills the nodes cache and answers both questions the
+    # loop needs (vertex count, any-dangling?) — a separate left_anti count
+    # for dangling was a second full action (~1.5 s on the 1.3M-edge bench).
+    srcs = edges.select(F.col("src").alias("vertex")).distinct().withColumn(
+        "_has_out", F.lit(1)
+    )
+    row = (
+        nodes.join(srcs, "vertex", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("_has_out").isNull(), 1).otherwise(0)).alias("n_dangling"),
+        )
+        .first()
+    )
+    n = row.n
     if n == 0:
         return spark.createDataFrame([], "vertex long, score double")
+    has_dangling = row.n_dangling > 0
 
-    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     # The transition matrix is STATIC across supersteps and joined on src
-    # every one of them. For LONG runs, lay it out once (explicit hash
-    # partitioning on the join key, no AQE-coalesced odd layout) and
-    # materialize it eagerly — otherwise the first superstep's job mixes
-    # cache-fill with gather and per-superstep walls are unstable (measured:
-    # 2.8 s vs 5-50 s stalls at 10M edges when the cached side kept its
-    # ad-hoc post-join layout). For SHORT fixed-iteration runs the upfront
-    # repartition+count costs more than it saves (measured +7 s on the
-    # 5-superstep 1.3M-edge bench), so it is conditional.
+    # every one of them. Built with a window over src (p = w / sum(w) per
+    # src) instead of a groupBy+join: no out_w subtree, and when the input
+    # is already hash-partitioned on src the window adds NO exchange. The
+    # sum is exact in any order for integer-valued weights (doubles below
+    # 2^53), so p is bit-identical to the join formulation on count-weighted
+    # graphs. For LONG runs, lay it out once (explicit hash partitioning on
+    # the join key, no AQE-coalesced odd layout) and materialize it eagerly
+    # — otherwise the first superstep's job mixes cache-fill with gather and
+    # per-superstep walls are unstable (measured: 2.8 s vs 5-50 s stalls at
+    # 10M edges when the cached side kept its ad-hoc post-join layout). For
+    # SHORT fixed-iteration runs the upfront repartition+count costs more
+    # than it saves, so it is conditional.
+    from pyspark.sql import Window
+
     if stable_layout is None:
         stable_layout = tol > 0 or max_iter > 8
-    trans = edges.join(out_w, "src").select(
-        "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
-    )
-    if stable_layout:
-        trans = trans.repartition("src")
-    trans = trans.cache()
+    base = edges.repartition("src") if stable_layout else edges
+    trans = base.select(
+        "src",
+        "dst",
+        (F.col("weight") / F.sum("weight").over(Window.partitionBy("src"))).alias("p"),
+    ).cache()
     if stable_layout:
         trans.count()
-    dangling_nodes = nodes.join(out_w, nodes.vertex == out_w.src, "left_anti").cache()
-    has_dangling = dangling_nodes.count() > 0
+    dangling_nodes = (
+        nodes.join(srcs.select("vertex"), "vertex", "left_anti").cache()
+        if has_dangling
+        else None
+    )
 
     start_iter = 0
     ranks = nodes.withColumn("score", F.lit(1.0 / n))
+    from cuttana_spark.plans.checkpoints import CheckpointCycler
+
+    ck = CheckpointCycler(spark)
     if runner is not None:
         resumed = runner.resume()
         if resumed is not None:
             start_iter, ranks = resumed
-
-    from cuttana_spark.plans.checkpoints import CheckpointCycler
-
-    ck = CheckpointCycler(spark)
-    ranks = ck.checkpoint(ranks)
+            # resumed state carries real lineage — cut it before looping
+            ranks = ck.checkpoint(ranks)
+    # fresh start: ranks is nodes(cached) + a literal column — lineage is
+    # already minimal, a checkpoint here would only cost an extra job
     for it in range(start_iter, max_iter):
         _t_it = _time.monotonic() if iter_walls is not None else 0.0
         contribs = (
@@ -188,7 +213,8 @@ def _pagerank_impl(
     # caches are dead weight now; unpersist so repeated calls don't pile up
     # evictable-but-noisy blocks in the BlockManager
     for c in (nodes, trans, dangling_nodes):
-        c.unpersist(False)
+        if c is not None:
+            c.unpersist(False)
     return ck.finish(ranks)
 
 
