@@ -241,17 +241,18 @@ def pagerank_csr(
     never reshuffled. This is the bucketing story from the north star and
     the right mode on a real cluster.
     """
+    from pyspark.sql import Window
+
     from cuttana_spark.analytics.csr import pack_blocks, scatter_gather
 
     edges = edges.select("src", "dst", F.col("weight").cast("double"))
-    nodes = _nodes(edges).cache()
-    n = nodes.count()
-    if n == 0:
-        return spark.createDataFrame([], "vertex long, score double")
-
-    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
-    trans = edges.join(out_w, "src").select(
-        "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
+    nodes = _nodes(edges)
+    # window-built transition matrix — see pagerank(): no out_w subtree,
+    # bit-identical p on count-weighted graphs
+    trans = edges.select(
+        "src",
+        "dst",
+        (F.col("weight") / F.sum("weight").over(Window.partitionBy("src"))).alias("p"),
     )
     if bucketed_table is not None:
         if not spark.catalog.tableExists(bucketed_table):
@@ -268,13 +269,35 @@ def pagerank_csr(
     vp = vertex_partitions.select("vertex", "partition_id")
     # carry partition_id through the loop so each superstep needs no extra
     # score→partition join (vertices without a partition — possible only for
-    # dangling-only ids — contribute nothing and keep pid -1)
-    nodes_pid = nodes.join(vp, "vertex", "left").select(
-        "vertex", F.coalesce("partition_id", F.lit(-1)).alias("partition_id")
-    ).cache()
-    nodes_pid.count()
-    dangling_nodes = nodes.join(out_w, nodes.vertex == out_w.src, "left_anti").cache()
-    has_dangling = dangling_nodes.count() > 0
+    # dangling-only ids — contribute nothing and keep pid -1). The dangling
+    # indicator rides in the same cached relation, so ONE driver action
+    # fills the cache and answers vertex count + any-dangling (was three).
+    srcs = edges.select(F.col("src").alias("vertex")).distinct().withColumn(
+        "_has_out", F.lit(1)
+    )
+    nodes_flags = (
+        nodes.join(vp, "vertex", "left")
+        .join(srcs, "vertex", "left")
+        .select(
+            "vertex",
+            F.coalesce("partition_id", F.lit(-1)).alias("partition_id"),
+            F.coalesce("_has_out", F.lit(0)).alias("_has_out"),
+        )
+        .cache()
+    )
+    row = nodes_flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_has_out") == 0, 1).otherwise(0)).alias("n_dangling"),
+    ).first()
+    n = row.n
+    if n == 0:
+        nodes_flags.unpersist(False)
+        if bucketed_table is None:
+            blocks.unpersist(False)
+        return spark.createDataFrame([], "vertex long, score double")
+    has_dangling = row.n_dangling > 0
+    nodes_pid = nodes_flags.select("vertex", "partition_id")  # cache projection
+    dangling_nodes = nodes_flags.filter(F.col("_has_out") == 0).select("vertex")
 
     start_iter = 0
     ranks = nodes_pid.withColumn("score", F.lit(1.0 / n))
@@ -330,8 +353,7 @@ def pagerank_csr(
             runner.checkpoint(it + 1, ranks, {"err": float(err) if err != float("inf") else -1.0})
         if err < n * tol:
             break
-    for c in (nodes, nodes_pid, dangling_nodes):
-        c.unpersist(False)
+    nodes_flags.unpersist(False)
     if bucketed_table is None:
         blocks.unpersist(False)
     return ck.finish(ranks).select("vertex", "score")
@@ -363,20 +385,22 @@ def personalized_pagerank(
     if not n_seeds:
         raise ValueError("personalized_pagerank: no seed vertex exists in the graph")
 
-    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
-    # static across supersteps — eager join-key layout only when the run is
-    # long enough to amortize it (see pagerank)
+    from pyspark.sql import Window
+
+    # static across supersteps — window-built (see pagerank), eager join-key
+    # layout only when the run is long enough to amortize it
     if stable_layout is None:
         stable_layout = max_iter > 8
-    trans = edges.join(out_w, "src").select(
-        "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
-    )
-    if stable_layout:
-        trans = trans.repartition("src")
-    trans = trans.cache()
+    base = edges.repartition("src") if stable_layout else edges
+    trans = base.select(
+        "src",
+        "dst",
+        (F.col("weight") / F.sum("weight").over(Window.partitionBy("src"))).alias("p"),
+    ).cache()
     if stable_layout:
         trans.count()
-    dangling = nodes.join(out_w, nodes.vertex == out_w.src, "left_anti").cache()
+    srcs = edges.select(F.col("src").alias("vertex")).distinct()
+    dangling = nodes.join(srcs, "vertex", "left_anti").cache()
     has_dangling = dangling.count() > 0
 
     from cuttana_spark.plans.checkpoints import CheckpointCycler
