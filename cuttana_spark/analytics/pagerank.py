@@ -48,7 +48,11 @@ def pagerank(
     """PageRank over a DIRECTED weighted edge table (src, dst, weight).
 
     For undirected graphs pass the symmetrized table
-    (operators.edges.symmetrize). Returns DataFrame[vertex, score].
+    (operators.edges.symmetrize). Feed an edge table hash-partitioned on
+    `src` (e.g. `.repartition(n, "src")` once, cached) when you can: the
+    transition-matrix window then runs exchange-free and short runs skip
+    ~4 s of re-exchange on the 1.3M-edge bench graph (stable_layout=True
+    imposes that layout itself). Returns DataFrame[vertex, score].
     ``runner``: optional supersteps.SuperstepRunner for checkpoint/resume.
     ``checkpoint_interval``: materialize (and truncate lineage) every k-th
     superstep; intermediate supersteps stay lazily chained in one DAG.

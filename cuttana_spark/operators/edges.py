@@ -182,14 +182,23 @@ def adjacency(edges: DataFrame, max_nbrs_per_row: int | None = 65536) -> DataFra
     stream-side by the partitioner ingest (core.iter_adjacency_batches merge
     path), which requires rows of one src to be CONTIGUOUS — the partitioner
     entry points sort by (src, chunk) when they see the `chunk` column."""
+    from pyspark.sql import Window
+
     sym = symmetrize(edges)
     if max_nbrs_per_row is None:
         return sym.groupBy("src").agg(F.array_sort(F.collect_list("dst")).alias("nbrs"))
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    n_chunks = F.ceil(F.col("_deg") / F.lit(float(max_nbrs_per_row))).cast("long")
+    # degree via a window over src, not a groupBy+join: one exchange on src
+    # total — hash(src) partitioning also satisfies the (src, chunk)
+    # clustering the final aggregation needs, so no second exchange
+    n_chunks = F.greatest(
+        F.ceil(
+            F.count(F.lit(1)).over(Window.partitionBy("src"))
+            / F.lit(float(max_nbrs_per_row))
+        ).cast("long"),
+        F.lit(1),
+    )
     return (
-        sym.join(deg, "src")
-        .withColumn("chunk", F.pmod(F.xxhash64("dst"), F.greatest(n_chunks, F.lit(1))))
+        sym.withColumn("chunk", F.pmod(F.xxhash64("dst"), n_chunks))
         .groupBy("src", "chunk")
         .agg(F.array_sort(F.collect_list("dst")).alias("nbrs"))
     )
