@@ -16,25 +16,44 @@ MAX_ROUNDS = 50
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """For each u: m = min(u ∪ N(u)); emit (v, m) for v in N(u) with v > u."""
+    """For each u: m = min(u ∪ N(u)); emit (v, m) for v in N(u) with v > u.
+
+    NO dedup here (round 5): the star operations are min-aggregations, which
+    are duplicate-insensitive, so the intermediate may be a MULTISET — the
+    Kiveris et al. proofs only concern the edge SET represented, which
+    dropping duplicates does not change. Small-star's terminal distinct (the
+    one the convergence signature needs anyway) bounds multiset growth each
+    round; removing this distinct removes a full edge-set shuffle per round.
+    The min side stays a groupBy (map-side partial agg → ε shuffle, and AQE
+    typically broadcasts it) rather than a window, because the min is over
+    ALL 2E sym rows while only the E high-oriented rows are emitted — a
+    window would shuffle 2E where groupBy+join shuffles E+ε."""
     sym = e.select("a", "b").unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     mins = sym.groupBy("a").agg(F.min("b").alias("mb"))
     return (
         sym.filter(F.col("b") > F.col("a"))
         .join(mins, "a")
         .select(F.col("b").alias("a"), F.least("a", "mb").alias("b"))
-        .distinct()
     )
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Orient edges high→low; for each u: m = min(N_low(u) ∪ {u}); emit
-    (v, m) for v in N_low(u) and (u, m)."""
+    (v, m) for v in N_low(u) and (u, m).
+
+    The per-u min is built with a window over `a` instead of groupBy+join:
+    the window needs ONE exchange + ONE sort of the E oriented rows, where
+    the join formulation exchanges the same E rows for the probe side AND
+    sort-merges both sides. m = min(N_low(u)) < u always (every b < a here),
+    so min(N_low ∪ {u}) = m with no extra least(). Hub skew is identical to
+    the join formulation — either way all rows of one u land in one task;
+    WindowExec spills its per-key frame if a hub exceeds memory."""
+    from pyspark.sql import Window
+
     d = e.select(
         F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
     ).filter(F.col("a") != F.col("b"))
-    mins = d.groupBy("a").agg(F.min("b").alias("m"))
-    star = d.join(mins, "a")
+    star = d.withColumn("m", F.min("b").over(Window.partitionBy("a")))
     out = star.select(F.col("b").alias("a"), F.col("m").alias("b")).unionAll(
         star.select("a", F.col("m").alias("b"))
     )
@@ -46,9 +65,20 @@ def connected_components(
     edges: DataFrame,
     max_rounds: int = MAX_ROUNDS,
     runner=None,
+    sig_every: int = 1,
+    round_walls: list | None = None,
 ) -> DataFrame:
     """edges: undirected (src, dst[, weight]) → DataFrame[vertex, component]
-    where component = min vertex id of the component."""
+    where component = min vertex id of the component.
+
+    ``sig_every``: compute the convergence signature only every k-th round
+    (plus a consecutive-round confirmation when two sigs measured k rounds
+    apart agree — period-k oscillation through the alternation is not ruled
+    out by the potential argument, so equality k>1 apart is treated as a
+    HINT, never a stop). Worth >1 only if the signature job costs a
+    meaningful fraction of a round; measure before changing the default.
+    ``round_walls``: optional list receiving one dict per executed round
+    ({"round", "wall", "sig_wall"}) for profiling."""
     nodes = (
         edges.select(F.col("src").alias("vertex"))
         .unionAll(edges.select(F.col("dst").alias("vertex")))
@@ -92,13 +122,42 @@ def connected_components(
         ).first()
         return (row.cnt, row.h)
 
-    prev_sig = _sig(e)
+    import time as _time
+
+    # No signature of the INITIAL edge set: its non-canonical form needs a
+    # full least/greatest+distinct shuffle just to compare, and it only pays
+    # when the input is already a converged star forest — there the loop now
+    # runs one (cheap, idempotent) extra round instead.
+    prev_sig = None
+    prev_rnd = start - 1
+    confirming = False
     for rnd in range(start, max_rounds):
+        t0 = _time.monotonic()
         e2 = ck.checkpoint(_small_star(_large_star(e)))
-        sig = _sig(e2, canonical=True)
-        changed = sig != prev_sig
-        prev_sig = sig
+        t1 = _time.monotonic()
+        measure = (
+            confirming
+            or (rnd - start) % max(1, sig_every) == sig_every - 1
+            or rnd == max_rounds - 1
+        )
+        changed = True
+        sig_wall = 0.0
+        if measure:
+            sig = _sig(e2, canonical=True)
+            sig_wall = _time.monotonic() - t1
+            if prev_sig is not None and sig == prev_sig:
+                if prev_rnd == rnd - 1:
+                    changed = False  # consecutive rounds equal → fixpoint
+                else:
+                    confirming = True  # k apart equal → confirm next round
+            else:
+                confirming = False
+            prev_sig, prev_rnd = sig, rnd
         e = e2
+        if round_walls is not None:
+            round_walls.append(
+                {"round": rnd, "wall": _time.monotonic() - t0, "sig_wall": sig_wall}
+            )
         if runner is not None:
             runner.checkpoint(rnd + 1, e, {"changed": int(changed)})
         if not changed:

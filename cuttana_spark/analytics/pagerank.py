@@ -77,22 +77,35 @@ def pagerank(
     there AQE measures slightly BETTER (15.3 s vs 16.8 s for 5 chained
     supersteps). Skew safety inside the loop comes from the plan itself
     (map-side partial aggregation bounds hub fan-in), not AQE.
+
+    SESSION-LEVEL SIDE EFFECT: the AQE toggle is a SparkSession conf, so any
+    OTHER query run concurrently on the same session during a per-superstep
+    pagerank() call also executes AQE-off. Don't interleave unrelated
+    queries with a tol-driven / checkpoint_interval=1 run on one session —
+    use a separate session (spark.newSession()) for concurrent work. The
+    original setting is restored exactly on exit: an explicitly-set value is
+    set back, an unset key is unset again (not pinned to a default).
     """
     import time as _time
 
     per_superstep_jobs = checkpoint_interval == 1 or tol > 0
+    aqe_touched = False
     aqe_saved = None
     if per_superstep_jobs:
-        aqe_saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        aqe_saved = spark.conf.get("spark.sql.adaptive.enabled", None)
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        aqe_touched = True
     try:
         return _pagerank_impl(
             spark, edges, alpha, max_iter, tol, runner, checkpoint_interval,
             iter_walls, stable_layout, _time,
         )
     finally:
-        if aqe_saved is not None:
-            spark.conf.set("spark.sql.adaptive.enabled", aqe_saved)
+        if aqe_touched:
+            if aqe_saved is None:
+                spark.conf.unset("spark.sql.adaptive.enabled")
+            else:
+                spark.conf.set("spark.sql.adaptive.enabled", aqe_saved)
 
 
 def _pagerank_impl(

@@ -171,6 +171,14 @@ def adjacency(edges: DataFrame, max_nbrs_per_row: int | None = 65536) -> DataFra
     """Symmetric adjacency (src, nbrs sorted array) — the reference's
     VertexStream shape (/root/reference/src/stream.rs:11).
 
+    SCHEMA NOTE (changed in round 4): the default output schema is
+    (src, chunk, nbrs) — NOT (src, nbrs) — and a vertex with degree > 2^16
+    spans MULTIPLE rows (one per chunk). Callers that assume one row per src
+    (e.g. a ``{row.src: row.nbrs for ...}`` dict comprehension) must either
+    pass ``max_nbrs_per_row=None`` (small graphs only) or merge chunks
+    per src themselves; the in-repo partitioner entry points do the merge
+    stream-side.
+
     Hub safety: a collect_list row holds a vertex's WHOLE neighbor list — a
     degree-10^8 hub becomes one ~800 MB array cell and OOMs its executor.
     `max_nbrs_per_row` (DEFAULT 2^16, matching walks.walk_adjacency — pass

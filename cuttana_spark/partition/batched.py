@@ -605,7 +605,21 @@ class SpillIngestCheckpoint:
             fingerprint=np.str_(self.fingerprint),
             **state,
         )
+        # Durability to match the "atomic commit point" promise: fsync the
+        # tmp file's bytes, then the rename, then the directory entry — a
+        # power/OS crash can no longer commit a truncated npz (process-crash
+        # atomicity alone came from os.replace).
+        fd = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
         os.replace(tmp, self.file)  # atomic commit point
+        dfd = os.open(self.dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def clear(self) -> None:
         import os
@@ -668,8 +682,16 @@ def cuttana_partition_df_spill(
     segments, producing BIT-IDENTICAL output to an uninterrupted run
     (tested). Requires an explicit spool_path (the spool must survive the
     crash — it is re-streamed, not re-written, when its _SUCCESS marker
-    exists). Reusing the paths across DIFFERENT inputs/configs is guarded by
-    a state fingerprint, but a stale spool is the caller's to clean.
+    exists). Reusing the paths across DIFFERENT inputs/configs is guarded
+    twice: the checkpoint state fingerprint covers k/batch/config/n AND the
+    input plan's semanticHash, and the spool itself carries a
+    ``_CUTTANA_SPOOL_FP`` marker with the same plan hash — a spool written
+    by a different input plan is re-spooled (overwritten), never silently
+    reused, and a checkpoint written against a different input refuses to
+    resume. Limitation (documented, not detectable cheaply): the hash is
+    plan-level, so the SAME plan re-read over underlying files that were
+    mutated in place between runs is not caught — at that point the caller
+    must clean the spool/checkpoint dirs.
     """
     import os
     import shutil
@@ -700,9 +722,33 @@ def cuttana_partition_df_spill(
         tmp, own_tmp = tempfile.mkdtemp(prefix="cuttana_spill_"), True
     else:
         tmp, own_tmp = spool_path, False
+
+    # Input identity for spool/checkpoint reuse guards: the analyzed plan's
+    # semanticHash (no job, stable across sessions for the same source +
+    # transformations). "na" (internal API unavailable) never matches, which
+    # degrades to always-re-spool — safe.
     try:
-        if checkpoint_path is None or not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        input_fp = str(adj_df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        input_fp = "na"
+    fp_marker = os.path.join(tmp, "_CUTTANA_SPOOL_FP")
+
+    def _spool_fp_matches() -> bool:
+        if input_fp == "na" or not os.path.exists(fp_marker):
+            return False
+        with open(fp_marker) as f:
+            return f.read().strip() == input_fp
+
+    try:
+        reuse_spool = (
+            checkpoint_path is not None
+            and os.path.exists(os.path.join(tmp, "_SUCCESS"))
+            and _spool_fp_matches()
+        )
+        if not reuse_spool:
             adj_df.write.mode("overwrite").parquet(tmp)
+            with open(fp_marker, "w") as f:
+                f.write(input_fp)
 
         def raw_batches():
             for src, offsets, values in iter_spool_batches(tmp):
@@ -743,7 +789,7 @@ def cuttana_partition_df_spill(
         if checkpoint_path is not None:
             fp = (
                 f"k={num_partitions};batch={batch_size};cfg={cfg!r};"
-                f"dense={dense_ids};n={n}"
+                f"dense={dense_ids};n={n};input={input_fp}"
             )
             ck = SpillIngestCheckpoint(checkpoint_path, fp)
             loaded = ck.load()

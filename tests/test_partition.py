@@ -366,3 +366,28 @@ def test_spill_checkpoint_fingerprint_guard(spark, tmp_path):
         cuttana_partition_df_spill(
             df, 8, config=cfg, spool_path=spool, checkpoint_path=ckdir
         )
+
+
+def test_spill_stale_spool_not_reused(spark, tmp_path):
+    """ADVICE r4 (medium): a completed run leaves _SUCCESS in a caller
+    spool; a later run with the SAME paths but a DIFFERENT input must
+    re-spool (plan-hash marker mismatch), not silently partition the stale
+    spool."""
+    from cuttana_spark.partition.batched import cuttana_partition_df_spill
+
+    cfg = CuttanaConfig(max_buffer_size=400)
+    spool, ckdir = str(tmp_path / "spool"), str(tmp_path / "ck")
+
+    df_x = _adj_df(spark, _ba(3000))
+    cuttana_partition_df_spill(
+        df_x, 4, config=cfg, spool_path=spool, checkpoint_path=ckdir
+    )  # completes: clears checkpoint state, leaves spool + _SUCCESS behind
+
+    df_y = _adj_df(spark, _ba(2000, seed=7))
+    base_y = cuttana_partition_df_spill(df_y, 4, config=cfg)
+    res_y = cuttana_partition_df_spill(
+        df_y, 4, config=cfg, spool_path=spool, checkpoint_path=ckdir
+    )
+    assert np.array_equal(res_y.vertices, base_y.vertices)
+    assert np.array_equal(res_y.partitions, base_y.partitions)
+    assert res_y.cut_count == base_y.cut_count
