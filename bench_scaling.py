@@ -64,6 +64,61 @@ pagerank(spark, sym, max_iter=iters, tol=0.0, checkpoint_interval=1, iter_walls=
 print("RESULT " + json.dumps({{"cpus": cpus, "edges": n_edges, "walls": [round(w, 3) for w in walls]}}))
 """
 
+CSR_WORKER = r"""
+import json, sys, time
+sys.path.insert(0, "{repo}")
+cpus = int(sys.argv[1]); iters = int(sys.argv[2]); nconv = int(sys.argv[3]); shuf = int(sys.argv[4])
+from pyspark.sql import functions as F
+from cuttana_spark.session import get_spark
+from cuttana_spark.operators import edges as E
+from cuttana_spark.analytics.pagerank import pagerank_csr
+
+# AQE off for the whole worker: per-superstep jobs, fixed-shape query —
+# same choice pagerank() makes internally for the df path (round 4).
+spark = get_spark(app=f"scale-csr-{{cpus}}", master=f"local[{{cpus}}]", shuffle_partitions=shuf,
+                  extra={{"spark.local.dir": "/dev/shm/spark-scale",
+                         "spark.sql.adaptive.enabled": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+tdf = spark.read.parquet("{repo}/fixtures/scale_transcripts_{{}}.parquet".format(nconv))
+nodes, eids = E.transcript_edges(tdf, mode="hash")
+sym = E.symmetrize(eids)
+n_edges = sym.count()
+vp = spark.read.parquet("{repo}/fixtures/scale_partition_{{}}_k{{}}.parquet".format(nconv, shuf)).cache()
+vp.count()
+# bucketed blocks: the ONLY mode whose per-superstep plan elides the blocks-
+# side exchange (cache mode re-shuffles the packed blocks every superstep —
+# plan-checked). Packed once per JVM (setup, not measured); the in-memory
+# catalog forgets tables between sessions so each worker recreates it.
+import shutil
+spark.sql("DROP TABLE IF EXISTS scale_pr_blocks")
+shutil.rmtree("{repo}/spark-warehouse/scale_pr_blocks", ignore_errors=True)
+walls = []
+pagerank_csr(spark, sym, vp, max_iter=iters, tol=0.0, checkpoint_interval=1,
+             iter_walls=walls, bucketed_table="scale_pr_blocks")
+spark.sql("DROP TABLE IF EXISTS scale_pr_blocks")
+shutil.rmtree("{repo}/spark-warehouse/scale_pr_blocks", ignore_errors=True)
+print("RESULT " + json.dumps({{"cpus": cpus, "edges": n_edges, "walls": [round(w, 3) for w in walls]}}))
+"""
+
+PART_WORKER = r"""
+import json, sys
+sys.path.insert(0, "{repo}")
+nconv = int(sys.argv[1]); k = int(sys.argv[2])
+from cuttana_spark.session import get_spark
+from cuttana_spark.operators import edges as E
+from cuttana_spark.partition.batched import cuttana_partition_df_batched
+
+spark = get_spark(app="scale-part", master="local[32]", shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+tdf = spark.read.parquet("{repo}/fixtures/scale_transcripts_{{}}.parquet".format(nconv))
+nodes, eids = E.transcript_edges(tdf, mode="hash")
+adj = E.adjacency(eids)
+res = cuttana_partition_df_batched(adj, k, batch_size=4096)
+out = "{repo}/fixtures/scale_partition_{{}}_k{{}}.parquet".format(nconv, k)
+res.to_spark_df(spark).select("vertex", "partition_id").write.mode("overwrite").parquet(out)
+print("RESULT " + json.dumps({{"cut": res.edge_cut_ratio, "balance": res.balance}}))
+"""
+
 AUX_WORKER = r"""
 import json, sys, time
 sys.path.insert(0, "{repo}")
@@ -146,6 +201,18 @@ def _ensure_fixture(nconv: int) -> None:
         T.write_parquet(fix, n_conv=nconv)
 
 
+def _ensure_partition_fixture(nconv: int, k: int) -> None:
+    """One-time Cuttana vertex→partition map for the CSR workers. The
+    partition is a property of the graph, not of the parallelism level, so
+    computing it once and reusing it across reps/levels is the honest setup
+    (a production run would likewise partition once, then iterate)."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    fix = os.path.join(repo, "fixtures", f"scale_partition_{nconv}_k{k}.parquet")
+    if not os.path.exists(fix):
+        res = _run_worker(PART_WORKER, [str(nconv), str(k)])
+        print(f"partition fixture k={k}: {res}", file=sys.stderr)
+
+
 def main() -> None:
     reps = 5
     iters = 14
@@ -159,24 +226,34 @@ def main() -> None:
         nconv = int(sys.argv[sys.argv.index("--nconv") + 1])
     _ensure_fixture(nconv)
 
+    _ensure_partition_fixture(nconv, shuf)
+
     levels = (2, 8, 32)
-    pr_medians: dict[int, list[float]] = {c: [] for c in levels}
-    pr_edges = 0
+    subjects = {"pagerank": PR_WORKER, "pagerank_csr": CSR_WORKER}
+    medians: dict[str, dict[int, list[float]]] = {
+        s: {c: [] for c in levels} for s in subjects
+    }
+    raw_walls: dict[str, dict[int, list[list[float]]]] = {
+        s: {c: [] for c in levels} for s in subjects
+    }
+    edges_count = 0
     for rep in range(reps):
         for cpus in levels:  # interleaved: every rep touches every level
             it = iters if cpus > 2 else max(10, iters // 2)  # local[2] is slow; fewer steps
-            res = _run_worker(PR_WORKER, [str(cpus), str(it), str(nconv), str(shuf)])
-            pr_edges = res["edges"]
-            steady = res["walls"][4:]  # drop JIT/codegen/cache warmup supersteps
-            pr_medians[cpus].append(statistics.median(steady))
-            print(
-                f"rep {rep} local[{cpus}]: median {pr_medians[cpus][-1]:.2f}s "
-                f"walls {res['walls']}",
-                file=sys.stderr,
-            )
+            for subj, worker in subjects.items():
+                res = _run_worker(worker, [str(cpus), str(it), str(nconv), str(shuf)])
+                edges_count = res["edges"]
+                steady = res["walls"][4:]  # drop JIT/codegen/cache warmup supersteps
+                raw_walls[subj][cpus].append(res["walls"])
+                medians[subj][cpus].append(statistics.median(steady))
+                print(
+                    f"rep {rep} {subj} local[{cpus}]: median "
+                    f"{medians[subj][cpus][-1]:.2f}s walls {res['walls']}",
+                    file=sys.stderr,
+                )
 
-    def level_stats(c: int) -> dict:
-        meds = pr_medians[c]
+    def level_stats(meds_by_level: dict[int, list[float]], c: int) -> dict:
+        meds = meds_by_level[c]
         med = statistics.median(meds)
         cv = statistics.pstdev(meds) / statistics.mean(meds) if len(meds) > 1 else 0.0
         # trimmed view: this VM is co-tenant-shared — occasionally ONE whole
@@ -196,19 +273,23 @@ def main() -> None:
             "sec_per_superstep_median": round(med, 3),
             "rep_medians": [round(m, 3) for m in meds],
             "cv": round(cv, 4),
+            "outliers_dropped": len(meds) - len(trimmed),
             "supersteps_per_sec": round(1.0 / med, 4),
-            "edges_per_sec": round(pr_edges / med, 1),
+            "edges_per_sec": round(edges_count / med, 1),
         }
 
-    pr = {f"local[{c}]": level_stats(c) for c in levels}
-
-    def eff(a: int, b: int) -> float:
+    def eff(meds_by_level: dict[int, list[float]], a: int, b: int) -> float:
         def tmed(c):
-            meds = pr_medians[c]
+            meds = meds_by_level[c]
             trimmed = sorted(meds)[:-1] if len(meds) > 2 else meds
             return statistics.median(trimmed)
 
         return round((tmed(a) / tmed(b)) / (b / a), 3)
+
+    sections = {
+        s: {f"local[{c}]": level_stats(medians[s], c) for c in levels}
+        for s in subjects
+    }
 
     aux = {c: _run_worker(AUX_WORKER, [str(c), str(nconv)]) for c in (8, 32)}
     aux2 = {c: _run_worker(AUX_WORKER, [str(c), str(nconv)]) for c in (2,)}
@@ -218,23 +299,40 @@ def main() -> None:
 
     result = {
         "metric": "pagerank_scaling_efficiency_N_to_4N",
-        "value": eff(2, 8),
+        "value": eff(medians["pagerank_csr"], 2, 8),
         "unit": "ratio",
-        "method": "steady-state sec/superstep, per-superstep jobs, warmup-2 "
-        "dropped, median of %d interleaved fresh-JVM reps per level" % reps,
-        "pagerank": pr,
-        "pagerank_efficiency_2_to_8": eff(2, 8),
-        "pagerank_efficiency_8_to_32": eff(8, 32),
+        "method": "steady-state sec/superstep, per-superstep jobs, warmup-4 "
+        "dropped, median of %d interleaved fresh-JVM reps per level; "
+        "headline value = pagerank_csr (the frontier-only O(V)-shuffle "
+        "design that runs at 100x scale); the df path reported alongside"
+        % reps,
+        "pagerank": sections["pagerank"],
+        "pagerank_csr": sections["pagerank_csr"],
+        "pagerank_efficiency_2_to_8": eff(medians["pagerank"], 2, 8),
+        "pagerank_efficiency_8_to_32": eff(medians["pagerank"], 8, 32),
+        "pagerank_csr_efficiency_2_to_8": eff(medians["pagerank_csr"], 2, 8),
+        "pagerank_csr_efficiency_8_to_32": eff(medians["pagerank_csr"], 8, 32),
         "minhash_efficiency_8_to_32": aux_eff("minhash", "docs_per_sec", 8, 32, aux),
         "kernel_efficiency_8_to_32": aux_eff("kernel", "rows_per_sec", 8, 32, aux),
         "kernel_efficiency_2_to_8": round(
             aux[8]["kernel"]["rows_per_sec"] / (4 * aux2[2]["kernel"]["rows_per_sec"]), 3
         ),
         "aux_levels": {**{str(k): v for k, v in aux.items()}, "2": aux2[2]},
-        "edges": pr_edges,
+        "edges": edges_count,
+        "raw_walls": {
+            s: {f"local[{c}]": raw_walls[s][c] for c in levels} for s in subjects
+        },
+        "outlier_policy": "per level+subject, the single worst rep median is "
+        "dropped from the *_trimmed fields and efficiency (stated policy for "
+        "a co-tenant-shared box — an external load burst occasionally "
+        "pollutes one whole rep); outliers_dropped counts them and the "
+        "untrimmed rep_medians/cv stay alongside for audit",
         "note": "local[N] proxies N executors on a 32-core box; the 2->8 "
-        "pair is the N->4N proxy. The loop runs AQE-off (one job / two "
-        "stages per superstep; round 4). The 8->32 shortfall is NOT a "
+        "pair is the N->4N proxy. Both subjects run AQE-off per-superstep "
+        "jobs. pagerank (df) shuffles the full O(E) transition join "
+        "(149 MB/superstep at 10.5M edges); pagerank_csr shuffles only the "
+        "O(V) frontier against cached CSR blocks and is the design intended "
+        "at cluster scale. The 8->32 shortfall on the df path is NOT a "
         "memory-bus hard cap and NOT shuffle volume (bytes identical): the "
         "profiled floor is 73% parallel task time whose CPU-seconds inflate "
         "~2.7x from 8 to 32 threads (shared-box memory contention + "

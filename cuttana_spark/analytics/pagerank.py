@@ -245,8 +245,15 @@ def pagerank_csr(
     runner=None,
     bucketed_table: str | None = None,
     num_buckets: int | None = None,
+    checkpoint_interval: int = 5,
+    iter_walls: list | None = None,
 ) -> DataFrame:
     """PageRank via CSR-block gather-scatter (see module docstring).
+
+    ``checkpoint_interval``/``iter_walls``: as in pagerank() — interval 1
+    materializes every superstep as its own job so each wall in iter_walls
+    is one steady-state superstep (the scaling bench's subject); the default
+    (5) keeps fixed-iteration runs lazily chained.
 
     vertex_partitions: DataFrame[vertex, partition_id] — from the Cuttana
     partitioner; blocks are co-located by partition_id so each superstep
@@ -330,7 +337,10 @@ def pagerank_csr(
     ck = CheckpointCycler(spark)
     ranks = ck.checkpoint(ranks)
 
+    import time as _time
+
     for it in range(start_iter, max_iter):
+        _t_it = _time.monotonic()
         contribs = scatter_gather(spark, blocks, ranks)
         joined = nodes_pid.join(contribs, nodes_pid.vertex == contribs.dst, "left")
         if has_dangling:
@@ -354,7 +364,8 @@ def pagerank_csr(
         # intermediate supersteps live as shuffle outputs that Spark reuses,
         # so a fixed-iteration run executes as ONE dag with no per-superstep
         # driver round-trip
-        if tol > 0 or runner is not None or (it + 1) % 5 == 0 or it + 1 == max_iter:
+        interval = max(1, checkpoint_interval)
+        if tol > 0 or runner is not None or (it + 1) % interval == 0 or it + 1 == max_iter:
             new_ranks = ck.checkpoint(new_ranks)
         if tol > 0:
             err = (
@@ -366,6 +377,8 @@ def pagerank_csr(
         else:
             err = float("inf")  # fixed-iteration mode: no convergence action
         ranks = new_ranks
+        if iter_walls is not None:
+            iter_walls.append(_time.monotonic() - _t_it)
         if runner is not None:
             runner.checkpoint(it + 1, ranks, {"err": float(err) if err != float("inf") else -1.0})
         if err < n * tol:

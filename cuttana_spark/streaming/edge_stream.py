@@ -47,7 +47,10 @@ def _transitions(
     bounded-state approximation).
     """
     rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-    ts = rows["ts"].map(lambda t: t.timestamp()).to_numpy()
+    # vectorized epoch-seconds; go through INTEGER microseconds (µs counts
+    # stay < 2^53 so the int→float conversion is exact — int64 nanoseconds
+    # are not, and ns/1e9 drifts up to ~256 ns from Timestamp.timestamp())
+    ts = rows["ts"].to_numpy(dtype="datetime64[us]").astype("int64") / 1e6
     eid = rows["event_id"].to_numpy()
     types = rows["event_type"].to_numpy(dtype=object)
 

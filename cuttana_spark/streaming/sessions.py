@@ -43,7 +43,10 @@ def _sessions(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-    ts = rows["ts"].map(lambda t: t.timestamp()).to_numpy(np.float64)
+    # vectorized epoch-seconds; go through INTEGER microseconds (µs counts
+    # stay < 2^53 so the int→float conversion is exact — int64 nanoseconds
+    # are not, and ns/1e9 drifts up to ~256 ns from Timestamp.timestamp())
+    ts = rows["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64) / 1e6
     vals = np.round(rows["value"].to_numpy(np.float64) * 1e6).astype(np.int64)
     uid = int(key[0])
 
