@@ -376,6 +376,26 @@ def _q_lpa_events(spark, sf_dir):
     return lp.groupBy("label").agg(F.count(F.lit(1)).alias("size")).orderBy(F.desc("size"), "label")
 
 
+def _q_lpa_csr_events(spark, sf_dir):
+    """LPA on the CSR gather-scatter skeleton (round 5): per-superstep
+    shuffle is the O(V) label frontier only; per-block Arrow kernel
+    pre-counts (dst, label) runs and the argmax is one min-struct
+    aggregation (no window sort). Same oracle as lpa_events — the result is
+    partition-layout-independent by construction."""
+    from cuttana_spark.analytics.labelprop import label_propagation_csr
+    from cuttana_spark.operators import edges as E
+
+    nodes, eids = E.events_graph(_read(spark, sf_dir, "events"))
+    vp = (
+        eids.select(F.col("src").alias("vertex"))
+        .unionAll(eids.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .select("vertex", F.pmod(F.hash("vertex"), F.lit(8)).alias("partition_id"))
+    )
+    lp = label_propagation_csr(spark, eids, vp, max_iter=4)
+    return lp.groupBy("label").agg(F.count(F.lit(1)).alias("size")).orderBy(F.desc("size"), "label")
+
+
 def _q_partition_transcripts(spark, sf_dir):
     """Cuttana partitioning on the transcripts graph, k=16 — driver-VERIFIED
     invariants (was rows-only until round 3). The oracle recomputes
@@ -1908,6 +1928,24 @@ def _q_kcore2_transcripts(spark, sf_dir):
     return k_core(spark, eids, k=2)
 
 
+def _q_kcore2_csr_transcripts(spark, sf_dir):
+    """2-core via the CSR gather-scatter skeleton (round 5): the alive set
+    rides the frontier as a {0,1} score and the per-round alive-neighbor
+    count is the gathered sum over p=1.0 blocks, so each peel round shuffles
+    only the O(V) frontier — the join-based k_core re-exchanges the O(E)
+    sym edge set twice per round. Same oracle as kcore2_transcripts: the
+    result must be partition-layout-independent."""
+    from cuttana_spark.analytics.kcore import k_core_csr
+    from cuttana_spark.operators import edges as E
+    from cuttana_spark.partition.batched import cuttana_partition_df_batched
+
+    nodes, eids = E.transcript_edges(_transcripts(spark))
+    adj = E.adjacency(eids)
+    res = cuttana_partition_df_batched(adj, 8)
+    vp = res.to_spark_df(spark).select("vertex", "partition_id")
+    return k_core_csr(spark, eids, vp, k=2)
+
+
 def _kcore_sql(k: int = 2, rounds: int = 22) -> str:
     parts = [_graph_ids_ctes(_transcript_edges_sql())]
     parts.append(",\na0 AS MATERIALIZED (SELECT vid AS v FROM nk)")
@@ -1979,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_transcripts": _q_triangles_transcripts,
         "cc_transcripts": _q_cc_transcripts,
         "lpa_events": _q_lpa_events,
+        "lpa_csr_events": _q_lpa_csr_events,
         "partition_transcripts": _q_partition_transcripts,
         "partition_spill_transcripts": _q_partition_spill_transcripts,
         "pagerank_csr_transcripts": _q_pagerank_csr_transcripts,
@@ -2015,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_events": _q_rollup_events,
         "gopher_repetition": _q_gopher_repetition,
         "kcore2_transcripts": _q_kcore2_transcripts,
+        "kcore2_csr_transcripts": _q_kcore2_csr_transcripts,
         "supplier_part_revenue": _q_supplier_part_revenue,
         "pii_scrub": _q_pii_scrub,
         "decontaminate": _q_decontaminate,
@@ -2039,6 +2079,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles_transcripts": _TRIANGLES_SQL,
         "cc_transcripts": _cc_sql(),
         "lpa_events": _lpa_sql(),
+        "lpa_csr_events": _lpa_sql(),
         "pagerank_csr_transcripts": _pagerank_csr_sql(),
         "pricing_summary": _PRICING_SQL,
         "top_revenue_orders": _TOP_REVENUE_SQL,
@@ -2066,6 +2107,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_events": _ROLLUP_SQL,
         "gopher_repetition": _GOPHER_SQL,
         "kcore2_transcripts": _kcore_sql(),
+        "kcore2_csr_transcripts": _kcore_sql(),
         "supplier_part_revenue": _SUPPLIER_PART_SQL,
         "pii_scrub": _pii_scrub_sql(),
         "decontaminate": _decontaminate_sql(),

@@ -58,6 +58,59 @@ def pack_blocks(trans: DataFrame, vertex_partitions: DataFrame) -> DataFrame:
     return routed.groupBy("partition_id").applyInPandas(pack, BLOCK_SCHEMA)
 
 
+def gather_label_counts(spark, blocks: DataFrame, labels: DataFrame) -> DataFrame:
+    """One label-propagation gather: labels (vertex, label, partition_id) ×
+    blocks → per-block (dst, label, cnt) partials, pre-aggregated inside the
+    Arrow kernel by lexsort + run-length (no per-edge rows leave the block).
+    Only the O(V) label frontier is shuffled; the subsequent global
+    groupBy(dst, label) receives ≤ one row per (block, dst, label) — after a
+    few supersteps labels collapse and the partial set is ≈O(V), not O(E).
+    The `ps` weights in the blocks are ignored (LPA counts edges)."""
+
+    def step(key, block_pdf: pd.DataFrame, label_pdf: pd.DataFrame):
+        empty = pd.DataFrame(
+            {
+                "dst": pd.Series(dtype="int64"),
+                "label": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int64"),
+            }
+        )
+        if block_pdf.empty or label_pdf.empty:
+            return empty
+        lv = label_pdf["vertex"].to_numpy(np.int64)
+        lb = label_pdf["label"].to_numpy(np.int64)
+        order = np.argsort(lv, kind="stable")
+        lv, lb = lv[order], lb[order]
+        dd, ll, cc = [], [], []
+        for _, row in block_pdf.iterrows():
+            srcs = np.frombuffer(row["srcs"], np.int64)
+            dsts = np.frombuffer(row["dsts"], np.int64)
+            sl = lb[np.searchsorted(lv, srcs)]
+            idx = np.lexsort((sl, dsts))
+            d, l = dsts[idx], sl[idx]
+            brk = np.empty(d.shape[0], bool)
+            brk[0] = True
+            brk[1:] = (d[1:] != d[:-1]) | (l[1:] != l[:-1])
+            starts = np.flatnonzero(brk)
+            cnts = np.diff(np.append(starts, d.shape[0]))
+            dd.append(d[starts])
+            ll.append(l[starts])
+            cc.append(cnts)
+        return pd.DataFrame(
+            {
+                "dst": np.concatenate(dd),
+                "label": np.concatenate(ll),
+                "cnt": np.concatenate(cc),
+            }
+        )
+
+    return (
+        blocks.groupby("partition_id")
+        .cogroup(labels.groupby("partition_id"))
+        .applyInPandas(step, "dst long, label long, cnt long")
+    )
+
+
 def scatter_gather(spark, blocks: DataFrame, scores: DataFrame) -> DataFrame:
     """One superstep: scores (vertex, score, partition_id) × blocks →
     per-dst partial contributions, pre-aggregated per block."""

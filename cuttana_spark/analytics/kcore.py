@@ -19,6 +19,88 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def k_core_csr(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertex_partitions: DataFrame,
+    k: int,
+    max_rounds: int = 200,
+    bucketed_table: str | None = None,
+    round_walls: list | None = None,
+) -> DataFrame:
+    """k-core peeling on the CSR gather-scatter skeleton (round 5).
+
+    The peeling recurrence is a {0,1}-valued PageRank superstep: with the
+    frontier carrying alive(v) ∈ {0.0, 1.0} and every packed edge weighted
+    p = 1.0, the gathered per-dst sum is exactly |N(v) ∩ alive| (float sums
+    of 1.0 are exact integers far beyond any degree), and the peel is
+    new_alive(v) = alive(v) ∧ (count ≥ k). So each round shuffles only the
+    O(V) frontier against the executor-resident CSR blocks — the join-based
+    k_core() below re-exchanges the O(E) symmetric edge set twice per round
+    once the alive set is too big to broadcast. Dead vertices stay in the
+    frontier with score 0.0 (the kernel resolves block srcs positionally, so
+    every src must be present); the frontier is O(V) rows regardless.
+
+    vertex_partitions must cover every vertex of `edges` (pack_blocks routes
+    edges by an inner join on the source's partition — unmapped sources
+    would be silently dropped). The Cuttana partitioner over the same
+    graph's adjacency satisfies this; any total vertex→partition map is
+    CORRECT (partition quality only affects locality, never the result).
+    """
+    from cuttana_spark.analytics.csr import pack_blocks, scatter_gather
+    from cuttana_spark.plans.checkpoints import CheckpointCycler
+
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    trans = sym.filter(F.col("src") != F.col("dst")).withColumn("p", F.lit(1.0))
+    if bucketed_table is not None:
+        if not spark.catalog.tableExists(bucketed_table):
+            nb = int(vertex_partitions.agg(F.max("partition_id")).first()[0]) + 1
+            pack_blocks(trans, vertex_partitions).write.bucketBy(
+                nb, "partition_id"
+            ).mode("overwrite").saveAsTable(bucketed_table)
+        blocks = spark.table(bucketed_table)
+    else:
+        blocks = pack_blocks(trans, vertex_partitions).cache()
+        blocks.count()
+
+    vp = vertex_partitions.select("vertex", "partition_id")
+    nodes = sym.select(F.col("src").alias("vertex")).distinct()
+    frontier = nodes.join(vp, "vertex").withColumn("score", F.lit(1.0))
+
+    import time as _time
+
+    ck = CheckpointCycler(spark)
+    frontier = ck.checkpoint(frontier)
+    n_prev = frontier.count()  # everyone starts alive
+    for _ in range(max_rounds):
+        t0 = _time.monotonic()
+        contribs = scatter_gather(spark, blocks, frontier)
+        nf = frontier.join(contribs, frontier.vertex == contribs.dst, "left").select(
+            frontier.vertex,
+            frontier.partition_id,
+            F.when(
+                (frontier.score > 0)
+                & (F.coalesce(contribs.contrib, F.lit(0.0)) >= k),
+                1.0,
+            )
+            .otherwise(0.0)
+            .alias("score"),
+        )
+        nf = ck.checkpoint(nf)
+        n_alive = nf.filter(F.col("score") > 0).count()
+        frontier = nf
+        if round_walls is not None:
+            round_walls.append(round(_time.monotonic() - t0, 3))
+        if n_alive == n_prev or n_alive == 0:
+            break
+        n_prev = n_alive
+    if bucketed_table is None:
+        blocks.unpersist(False)
+    return ck.finish(frontier).filter(F.col("score") > 0).select("vertex")
+
+
 def k_core(spark: SparkSession, edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
     """edges: undirected canonical (src, dst[, weight]) → DataFrame[vertex]
     containing exactly the k-core vertices (empty if none)."""

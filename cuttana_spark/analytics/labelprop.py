@@ -60,6 +60,75 @@ def label_propagation(
     return ck.finish(labels)
 
 
+def label_propagation_csr(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertex_partitions: DataFrame,
+    max_iter: int = 10,
+    bucketed_table: str | None = None,
+) -> DataFrame:
+    """LPA on the CSR gather-scatter skeleton (round 5) — identical
+    semantics to label_propagation() (most frequent neighbor label, ties →
+    smallest, isolated keep theirs), but each superstep shuffles only the
+    O(V) label frontier against executor-resident CSR blocks; the per-block
+    Arrow kernel pre-counts (dst, label) runs so the global aggregation
+    receives ≤ one row per (block, dst, label) instead of one per edge. The
+    argmax is a single min(struct(-cnt, label)) aggregation — no window
+    sort. vertex_partitions must cover every vertex (see k_core_csr); any
+    total map is correct, partition quality only affects locality."""
+    from cuttana_spark.analytics.csr import (
+        gather_label_counts,
+        pack_blocks,
+    )
+    from cuttana_spark.plans.checkpoints import CheckpointCycler
+
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    trans = sym.withColumn("p", F.lit(1.0))  # ps unused by the label kernel
+    if bucketed_table is not None:
+        if not spark.catalog.tableExists(bucketed_table):
+            nb = int(vertex_partitions.agg(F.max("partition_id")).first()[0]) + 1
+            pack_blocks(trans, vertex_partitions).write.bucketBy(
+                nb, "partition_id"
+            ).mode("overwrite").saveAsTable(bucketed_table)
+        blocks = spark.table(bucketed_table)
+    else:
+        blocks = pack_blocks(trans, vertex_partitions).cache()
+        blocks.count()
+
+    vp = vertex_partitions.select("vertex", "partition_id")
+    nodes = sym.select(F.col("src").alias("vertex")).distinct()
+    frontier = nodes.join(vp, "vertex").withColumn("label", F.col("vertex"))
+
+    ck = CheckpointCycler(spark)
+    frontier = ck.checkpoint(frontier)
+    for _ in range(max_iter):
+        partials = gather_label_counts(spark, blocks, frontier)
+        counts = partials.groupBy("dst", "label").agg(F.sum("cnt").alias("cnt"))
+        best = (
+            counts.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("label").alias("lb")
+                    )
+                ).alias("s")
+            )
+            .select(F.col("dst").alias("vertex"), F.col("s.lb").alias("new_label"))
+        )
+        frontier = ck.checkpoint(
+            frontier.join(best, "vertex", "left").select(
+                "vertex",
+                "partition_id",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+    if bucketed_table is None:
+        blocks.unpersist(False)
+    return ck.finish(frontier).select("vertex", "label")
+
+
 def label_propagation_oracle(adj: dict[int, list[int]], max_iter: int = 10) -> dict[int, int]:
     """Pure-Python oracle with identical semantics (exact-match tests)."""
     labels = {v: v for v in adj}

@@ -121,6 +121,26 @@ def test_label_propagation_exact(spark, G, edges_df):
     assert got == want
 
 
+def test_label_propagation_csr_exact(spark, G, edges_df):
+    """CSR-skeleton LPA must match the pure-Python oracle exactly under an
+    arbitrary hash partition map (result is partition-layout-independent)."""
+    from cuttana_spark.analytics.labelprop import label_propagation_csr
+
+    vp = (
+        edges_df.select(F.col("src").alias("vertex"))
+        .unionAll(edges_df.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .select("vertex", F.pmod(F.hash("vertex"), F.lit(4)).alias("partition_id"))
+    )
+    got = {
+        r.vertex: r.label
+        for r in label_propagation_csr(spark, edges_df, vp, max_iter=4).collect()
+    }
+    adj = {v: sorted(G.neighbors(v)) for v in G.nodes()}
+    want = label_propagation_oracle(adj, max_iter=4)
+    assert got == want
+
+
 def test_triangle_count_exact(spark, G, edges_df):
     import networkx as nx
 
@@ -206,6 +226,27 @@ def test_k_core_matches_networkx(spark, G, edges_df):
     core_num = nx.core_number(G)
     for k in (2, 3):
         got = sorted(r.vertex for r in k_core(spark, edges_df, k=k).collect())
+        want = sorted(v for v, c in core_num.items() if c >= k)
+        assert got == want
+
+
+def test_k_core_csr_matches_networkx(spark, G, edges_df):
+    """CSR-skeleton k-core (frontier-only shuffle) must equal networkx
+    core_number exactly; the vertex→partition map is an arbitrary hash
+    (partition choice affects locality only, never the result)."""
+    import networkx as nx
+
+    from cuttana_spark.analytics.kcore import k_core_csr
+
+    vp = (
+        edges_df.select(F.col("src").alias("vertex"))
+        .unionAll(edges_df.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .select("vertex", F.pmod(F.hash("vertex"), F.lit(4)).alias("partition_id"))
+    )
+    core_num = nx.core_number(G)
+    for k in (2, 3):
+        got = sorted(r.vertex for r in k_core_csr(spark, edges_df, vp, k=k).collect())
         want = sorted(v for v, c in core_num.items() if c >= k)
         assert got == want
 
