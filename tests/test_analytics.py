@@ -306,6 +306,28 @@ def test_pagerank_csr_multichunk_blocks(spark, G, edges_df, monkeypatch):
         assert b[v] == pytest.approx(a[v], abs=1e-12)
 
 
+def test_csr_frontier_mismatch_guard(spark):
+    """The sort-free CSR kernel resolves scores positionally, so a frontier
+    that is not exactly the packed partition's vertex set must raise, never
+    return silently wrong sums."""
+    import pytest as _pytest
+
+    from cuttana_spark.analytics.csr import pack_blocks, scatter_gather
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)], "src long, dst long, p double"
+    )
+    vp = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0)], "vertex long, partition_id int"
+    )
+    blocks = pack_blocks(edges, vp).cache()
+    ok = vp.withColumn("score", F.lit(1.0))
+    assert scatter_gather(spark, blocks, ok).count() == 3
+    missing = ok.filter(F.col("vertex") != 1)  # drop one partition vertex
+    with _pytest.raises(Exception, match="frontier vertex set"):
+        scatter_gather(spark, blocks, missing).collect()
+
+
 def test_random_walks_deterministic_replay(spark, G, edges_df):
     """Walks replay exactly in pure Python: next = sorted_nbrs[H(walk|step)
     % degree] with the portable md5-prefix hash; rerunning gives identical
