@@ -1228,6 +1228,50 @@ FROM agg a JOIN last l ON a.user_id = l.user_id AND a.seg < l.last_seg
 """
 
 
+def _q_stream_window_counts(spark, sf_dir):
+    """Third Structured Streaming driver row — the watermark/late-data path:
+    tumbling 1 h event-time windows with a 2 h watermark, availableNow,
+    APPEND mode (streaming/windows.py). Append emits exactly the windows
+    the final watermark (max ts − 2 h) has closed: window_end ≤ watermark.
+    The oracle recomputes the batch windows and applies that inequality —
+    so the check covers BOTH the aggregation values and the emission
+    frontier. sum is the scaled-int money convention (hash-exact)."""
+    import os
+    import tempfile
+
+    from cuttana_spark.streaming.windows import run_windowed_counts
+
+    work = tempfile.mkdtemp(prefix="cuttana_stream_w_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet")
+    )
+    run_windowed_counts(spark, src, f"{work}/ck", f"{work}/out")
+    raw = spark.read.parquet(f"{work}/out")
+    return raw.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value_e6",
+    )
+
+
+_STREAM_WINDOWS_SQL = """
+WITH m AS (SELECT max(ts) AS mx FROM events),
+w AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+         count(*) AS n_events,
+         CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_e6
+  FROM events GROUP BY 1, 2
+)
+SELECT epoch_us(ws) AS window_start_us, event_type,
+       CAST(n_events AS BIGINT) AS n_events, sum_value_e6
+FROM w, m
+WHERE ws + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+"""
+
+
 def _q_multimodal_decoded(spark, sf_dir):
     """REAL codec path (round 5 — retires the env-stub asterisk for two of
     three media kinds): documents are wrapped into VALID WAV (8-bit PCM) and
@@ -2009,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_from_events": _q_edges_from_events,
         "stream_edges_events": _q_stream_edges_events,
         "stream_sessions": _q_stream_sessions,
+        "stream_window_counts": _q_stream_window_counts,
         "edges_from_transcripts": _q_edges_from_transcripts,
         "degree_topk": _q_degree_topk,
         "pagerank5_events": _q_pagerank5_events,
@@ -2071,6 +2116,7 @@ def oracle_sql() -> dict[str, str]:
         "edges_from_events": _EVENT_EDGES_SQL,
         "stream_edges_events": _EVENT_EDGES_SQL,
         "stream_sessions": _STREAM_SESSIONS_SQL,
+        "stream_window_counts": _STREAM_WINDOWS_SQL,
         "edges_from_transcripts": _transcript_edges_sql(),
         "degree_topk": _ORACLE_DEGREE_TOPK,
         "pagerank5_events": _PAGERANK5_SQL,

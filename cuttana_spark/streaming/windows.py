@@ -32,12 +32,16 @@ def windowed_event_counts(
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("sum_value"),
+            # hash-oracle-safe money convention: scale each value to int64
+            # BEFORE aggregating so any SQL engine sums identical integers
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("sum_value_e6"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",
+            "sum_value_e6",
         )
     )
 
@@ -62,8 +66,16 @@ def batch_equivalent(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """The batch plan the stream's closed windows converge to."""
     return (
         events.groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("sum_value_e6"),
+        )
         .select(
-            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "sum_value_e6",
         )
     )
