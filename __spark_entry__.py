@@ -576,6 +576,35 @@ def _q_pagerank_csr_transcripts(spark, sf_dir):
     )
 
 
+def _q_pagerank_resident_transcripts(spark, sf_dir):
+    """CSR PageRank via the EXECUTOR-RESIDENT block store (blockstore.py):
+    only the O(V) frontier enters each superstep's plan; reused Python
+    workers cache the decoded blocks in-process. Same shared kernel as
+    pagerank_csr_transcripts, same relational oracle — a transport bug
+    (stale cache, wrong pid routing, dropped chunk) would hash-mismatch."""
+    import tempfile
+
+    from cuttana_spark.analytics.pagerank import pagerank_csr
+    from cuttana_spark.operators import edges as E
+    from cuttana_spark.partition.batched import cuttana_partition_df_batched
+
+    nodes, eids = E.transcript_edges(_transcripts(spark))
+    adj = E.adjacency(eids)
+    res = cuttana_partition_df_batched(adj, 8)
+    vp = res.to_spark_df(spark).select("vertex", "partition_id")
+    sym = E.symmetrize(eids)
+    store = tempfile.mkdtemp(prefix="cuttana-blockstore-")
+    pr = pagerank_csr(
+        spark, sym, vp, max_iter=3, tol=0.0, block_store=store + "/blocks"
+    )
+    return (
+        pr.select("vertex", F.round(F.col("score") * 1e9).cast("long").alias("score_e9"))
+        .orderBy(F.desc("score_e9"), "vertex")
+        .limit(50)
+    )
+
+
+
 # --------------------------------------------------------------------------
 # queries — relational conformance (TPC-H-ish)
 # --------------------------------------------------------------------------
@@ -2066,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_transcripts": _q_partition_transcripts,
         "partition_spill_transcripts": _q_partition_spill_transcripts,
         "pagerank_csr_transcripts": _q_pagerank_csr_transcripts,
+        "pagerank_resident_transcripts": _q_pagerank_resident_transcripts,
         # relational conformance
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
@@ -2127,6 +2157,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_events": _lpa_sql(),
         "lpa_csr_events": _lpa_sql(),
         "pagerank_csr_transcripts": _pagerank_csr_sql(),
+        "pagerank_resident_transcripts": _pagerank_csr_sql(),
         "pricing_summary": _PRICING_SQL,
         "top_revenue_orders": _TOP_REVENUE_SQL,
         "region_revenue": _REGION_REVENUE_SQL,

@@ -100,6 +100,38 @@ shutil.rmtree("{repo}/spark-warehouse/scale_pr_blocks", ignore_errors=True)
 print("RESULT " + json.dumps({{"cpus": cpus, "edges": n_edges, "walls": [round(w, 3) for w in walls]}}))
 """
 
+RES_WORKER = r"""
+import json, shutil, sys, time
+sys.path.insert(0, "{repo}")
+cpus = int(sys.argv[1]); iters = int(sys.argv[2]); nconv = int(sys.argv[3]); shuf = int(sys.argv[4])
+from pyspark.sql import functions as F
+from cuttana_spark.session import get_spark
+from cuttana_spark.operators import edges as E
+from cuttana_spark.analytics.pagerank import pagerank_csr
+
+# AQE off as in CSR_WORKER (per-superstep jobs, fixed-shape query)
+spark = get_spark(app=f"scale-res-{{cpus}}", master=f"local[{{cpus}}]", shuffle_partitions=shuf,
+                  extra={{"spark.local.dir": "/dev/shm/spark-scale",
+                         "spark.sql.adaptive.enabled": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+tdf = spark.read.parquet("{repo}/fixtures/scale_transcripts_{{}}.parquet".format(nconv))
+nodes, eids = E.transcript_edges(tdf, mode="hash")
+sym = E.symmetrize(eids)
+n_edges = sym.count()
+vp = spark.read.parquet("{repo}/fixtures/scale_partition_{{}}_k{{}}.parquet".format(nconv, shuf)).cache()
+vp.count()
+# executor-resident block store (blockstore.py): packed once per JVM
+# (setup, not measured); each superstep moves only the O(V) frontier
+# through Arrow — workers cache decoded blocks in-process.
+store = "/dev/shm/scale_res_store"
+shutil.rmtree(store, ignore_errors=True)
+walls = []
+pagerank_csr(spark, sym, vp, max_iter=iters, tol=0.0, checkpoint_interval=1,
+             iter_walls=walls, block_store=store)
+shutil.rmtree(store, ignore_errors=True)
+print("RESULT " + json.dumps({{"cpus": cpus, "edges": n_edges, "walls": [round(w, 3) for w in walls]}}))
+"""
+
 PART_WORKER = r"""
 import json, sys
 sys.path.insert(0, "{repo}")
@@ -229,7 +261,14 @@ def main() -> None:
     _ensure_partition_fixture(nconv, shuf)
 
     levels = (2, 8, 32)
-    subjects = {"pagerank": PR_WORKER, "pagerank_csr": CSR_WORKER}
+    subjects = {
+        "pagerank": PR_WORKER,
+        "pagerank_csr": CSR_WORKER,
+        "pagerank_res": RES_WORKER,
+    }
+    if "--subjects" in sys.argv:
+        want = sys.argv[sys.argv.index("--subjects") + 1].split(",")
+        subjects = {k: v for k, v in subjects.items() if k in want}
     medians: dict[str, dict[int, list[float]]] = {
         s: {c: [] for c in levels} for s in subjects
     }

@@ -146,6 +146,70 @@ def _check_frontier(row, sv: np.ndarray) -> None:
         )
 
 
+def decode_block(row) -> dict:
+    """Arrow/parquet row (binary columns) → dict of numpy views. Shared by
+    the cogroup steps below and blockstore's resident cache, so both paths
+    run the identical kernel bytes."""
+    return {
+        "n_verts": int(row["n_verts"]),
+        "v_min": int(row["v_min"]),
+        "v_max": int(row["v_max"]),
+        "src_idx": np.frombuffer(row["src_idx"], np.int32),
+        "ud": np.frombuffer(row["ud"], np.int64),
+        "inv": np.frombuffer(row["inv"], np.int32),
+        "ps": np.frombuffer(row["ps"], np.float64),
+    }
+
+
+def pr_partials(blocks: list, ss: np.ndarray) -> pd.DataFrame:
+    """PageRank gather kernel over decoded blocks: per-chunk gather ·
+    multiply · bincount, then an order-insensitive np.unique merge of chunk
+    partials. ``ss``: frontier scores sorted by vertex (the blocks' order)."""
+    outs: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    for b in blocks:
+        contrib = ss[b["src_idx"]] * b["ps"]
+        ud = b["ud"]
+        outs.append(ud)
+        out_c.append(
+            np.bincount(b["inv"], weights=contrib, minlength=ud.shape[0])
+        )
+    ud = np.concatenate(outs)
+    uc = np.concatenate(out_c)
+    if len(outs) > 1:  # merge chunk partials
+        ud2, inv = np.unique(ud, return_inverse=True)
+        uc = np.bincount(inv, weights=uc)
+        ud = ud2
+    return pd.DataFrame({"dst": ud, "contrib": uc})
+
+
+def lpa_partials(blocks: list, lb: np.ndarray) -> pd.DataFrame:
+    """Label-count gather kernel over decoded blocks: lexsort by (inv,
+    label) + run-length counts — at most one row per (chunk, dst, label).
+    ``lb``: frontier labels sorted by vertex."""
+    dd, ll, cc = [], [], []
+    for b in blocks:
+        sl = lb[b["src_idx"]]
+        inv, ud = b["inv"], b["ud"]
+        idx = np.lexsort((sl, inv))
+        d, l = inv[idx], sl[idx]
+        brk = np.empty(d.shape[0], bool)
+        brk[0] = True
+        brk[1:] = (d[1:] != d[:-1]) | (l[1:] != l[:-1])
+        starts = np.flatnonzero(brk)
+        cnts = np.diff(np.append(starts, d.shape[0]))
+        dd.append(ud[d[starts]])
+        ll.append(l[starts])
+        cc.append(cnts)
+    return pd.DataFrame(
+        {
+            "dst": np.concatenate(dd),
+            "label": np.concatenate(ll),
+            "cnt": np.concatenate(cc),
+        }
+    )
+
+
 def gather_label_counts(spark, blocks: DataFrame, labels: DataFrame) -> DataFrame:
     """One label-propagation gather: labels (vertex, label, partition_id) ×
     blocks → per-block (dst, label, cnt) partials, pre-aggregated inside the
@@ -168,29 +232,10 @@ def gather_label_counts(spark, blocks: DataFrame, labels: DataFrame) -> DataFram
         if block_pdf.empty or label_pdf.empty:
             return empty
         lv, lb = _sorted_frontier(label_pdf, "label", np.int64)
-        dd, ll, cc = [], [], []
-        for _, row in block_pdf.iterrows():
-            _check_frontier(row, lv)
-            sl = lb[np.frombuffer(row["src_idx"], np.int32)]
-            inv = np.frombuffer(row["inv"], np.int32)
-            ud = np.frombuffer(row["ud"], np.int64)
-            idx = np.lexsort((sl, inv))
-            d, l = inv[idx], sl[idx]
-            brk = np.empty(d.shape[0], bool)
-            brk[0] = True
-            brk[1:] = (d[1:] != d[:-1]) | (l[1:] != l[:-1])
-            starts = np.flatnonzero(brk)
-            cnts = np.diff(np.append(starts, d.shape[0]))
-            dd.append(ud[d[starts]])
-            ll.append(l[starts])
-            cc.append(cnts)
-        return pd.DataFrame(
-            {
-                "dst": np.concatenate(dd),
-                "label": np.concatenate(ll),
-                "cnt": np.concatenate(cc),
-            }
-        )
+        blocks = [decode_block(row) for _, row in block_pdf.iterrows()]
+        for b in blocks:
+            _check_frontier(b, lv)
+        return lpa_partials(blocks, lb)
 
     return (
         blocks.groupby("partition_id")
@@ -210,28 +255,10 @@ def scatter_gather(spark, blocks: DataFrame, scores: DataFrame) -> DataFrame:
         if block_pdf.empty or score_pdf.empty:
             return pd.DataFrame(_EMPTY_CONTRIB)
         sv, ss = _sorted_frontier(score_pdf, "score", np.float64)
-        outs: list[np.ndarray] = []
-        out_c: list[np.ndarray] = []
-        for _, row in block_pdf.iterrows():
-            _check_frontier(row, sv)
-            s = ss[np.frombuffer(row["src_idx"], np.int32)]
-            contrib = s * np.frombuffer(row["ps"], np.float64)
-            ud = np.frombuffer(row["ud"], np.int64)
-            outs.append(ud)
-            out_c.append(
-                np.bincount(
-                    np.frombuffer(row["inv"], np.int32),
-                    weights=contrib,
-                    minlength=ud.shape[0],
-                )
-            )
-        ud = np.concatenate(outs)
-        uc = np.concatenate(out_c)
-        if len(outs) > 1:  # merge chunk partials
-            ud2, inv = np.unique(ud, return_inverse=True)
-            uc = np.bincount(inv, weights=uc)
-            ud = ud2
-        return pd.DataFrame({"dst": ud, "contrib": uc})
+        blocks = [decode_block(row) for _, row in block_pdf.iterrows()]
+        for b in blocks:
+            _check_frontier(b, sv)
+        return pr_partials(blocks, ss)
 
     partials = (
         blocks.groupby("partition_id")

@@ -27,6 +27,7 @@ def k_core_csr(
     max_rounds: int = 200,
     bucketed_table: str | None = None,
     round_walls: list | None = None,
+    block_store: str | None = None,
 ) -> DataFrame:
     """k-core peeling on the CSR gather-scatter skeleton (round 5).
 
@@ -53,17 +54,30 @@ def k_core_csr(
     sym = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    if bucketed_table is not None and block_store is not None:
+        raise ValueError("pass at most one of bucketed_table / block_store")
     trans = sym.filter(F.col("src") != F.col("dst")).withColumn("p", F.lit(1.0))
-    if bucketed_table is not None:
+    if block_store is not None:
+        from cuttana_spark.analytics.blockstore import (
+            ensure_block_store,
+            scatter_gather_resident,
+        )
+
+        ensure_block_store(trans, vertex_partitions, block_store)
+        blocks = None
+        gather = lambda f: scatter_gather_resident(spark, block_store, f)
+    elif bucketed_table is not None:
         if not spark.catalog.tableExists(bucketed_table):
             nb = int(vertex_partitions.agg(F.max("partition_id")).first()[0]) + 1
             pack_blocks(trans, vertex_partitions).write.bucketBy(
                 nb, "partition_id"
             ).mode("overwrite").saveAsTable(bucketed_table)
         blocks = spark.table(bucketed_table)
+        gather = lambda f: scatter_gather(spark, blocks, f)
     else:
         blocks = pack_blocks(trans, vertex_partitions).cache()
         blocks.count()
+        gather = lambda f: scatter_gather(spark, blocks, f)
 
     vp = vertex_partitions.select("vertex", "partition_id")
     nodes = sym.select(F.col("src").alias("vertex")).distinct()
@@ -76,7 +90,7 @@ def k_core_csr(
     n_prev = frontier.count()  # everyone starts alive
     for _ in range(max_rounds):
         t0 = _time.monotonic()
-        contribs = scatter_gather(spark, blocks, frontier)
+        contribs = gather(frontier)
         nf = frontier.join(contribs, frontier.vertex == contribs.dst, "left").select(
             frontier.vertex,
             frontier.partition_id,
@@ -96,7 +110,7 @@ def k_core_csr(
         if n_alive == n_prev or n_alive == 0:
             break
         n_prev = n_alive
-    if bucketed_table is None:
+    if bucketed_table is None and block_store is None:
         blocks.unpersist(False)
     return ck.finish(frontier).filter(F.col("score") > 0).select("vertex")
 

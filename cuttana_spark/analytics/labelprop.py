@@ -66,6 +66,7 @@ def label_propagation_csr(
     vertex_partitions: DataFrame,
     max_iter: int = 10,
     bucketed_table: str | None = None,
+    block_store: str | None = None,
 ) -> DataFrame:
     """LPA on the CSR gather-scatter skeleton (round 5) — identical
     semantics to label_propagation() (most frequent neighbor label, ties →
@@ -75,7 +76,9 @@ def label_propagation_csr(
     receives ≤ one row per (block, dst, label) instead of one per edge. The
     argmax is a single min(struct(-cnt, label)) aggregation — no window
     sort. vertex_partitions must cover every vertex (see k_core_csr); any
-    total map is correct, partition quality only affects locality."""
+    total map is correct, partition quality only affects locality.
+    block_store: executor-resident store dir (see blockstore.py) — only the
+    O(V) frontier enters the plan; mutually exclusive with bucketed_table."""
     from cuttana_spark.analytics.csr import (
         gather_label_counts,
         pack_blocks,
@@ -85,17 +88,30 @@ def label_propagation_csr(
     sym = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    if bucketed_table is not None and block_store is not None:
+        raise ValueError("pass at most one of bucketed_table / block_store")
     trans = sym.withColumn("p", F.lit(1.0))  # ps unused by the label kernel
-    if bucketed_table is not None:
+    if block_store is not None:
+        from cuttana_spark.analytics.blockstore import (
+            ensure_block_store,
+            gather_label_counts_resident,
+        )
+
+        ensure_block_store(trans, vertex_partitions, block_store)
+        blocks = None
+        gather = lambda f: gather_label_counts_resident(spark, block_store, f)
+    elif bucketed_table is not None:
         if not spark.catalog.tableExists(bucketed_table):
             nb = int(vertex_partitions.agg(F.max("partition_id")).first()[0]) + 1
             pack_blocks(trans, vertex_partitions).write.bucketBy(
                 nb, "partition_id"
             ).mode("overwrite").saveAsTable(bucketed_table)
         blocks = spark.table(bucketed_table)
+        gather = lambda f: gather_label_counts(spark, blocks, f)
     else:
         blocks = pack_blocks(trans, vertex_partitions).cache()
         blocks.count()
+        gather = lambda f: gather_label_counts(spark, blocks, f)
 
     vp = vertex_partitions.select("vertex", "partition_id")
     nodes = sym.select(F.col("src").alias("vertex")).distinct()
@@ -104,7 +120,7 @@ def label_propagation_csr(
     ck = CheckpointCycler(spark)
     frontier = ck.checkpoint(frontier)
     for _ in range(max_iter):
-        partials = gather_label_counts(spark, blocks, frontier)
+        partials = gather(frontier)
         counts = partials.groupBy("dst", "label").agg(F.sum("cnt").alias("cnt"))
         best = (
             counts.groupBy("dst")
@@ -124,7 +140,7 @@ def label_propagation_csr(
                 F.coalesce("new_label", "label").alias("label"),
             )
         )
-    if bucketed_table is None:
+    if bucketed_table is None and block_store is None:
         blocks.unpersist(False)
     return ck.finish(frontier).select("vertex", "label")
 

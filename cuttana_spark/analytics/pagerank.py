@@ -247,6 +247,7 @@ def pagerank_csr(
     num_buckets: int | None = None,
     checkpoint_interval: int = 5,
     iter_walls: list | None = None,
+    block_store: str | None = None,
 ) -> DataFrame:
     """PageRank via CSR-block gather-scatter (see module docstring).
 
@@ -264,11 +265,22 @@ def pagerank_csr(
     the exchange elided (verified in the physical plan) — the O(E) side is
     never reshuffled. This is the bucketing story from the north star and
     the right mode on a real cluster.
+
+    block_store: if set (a directory path; mutually exclusive with
+    bucketed_table), the packed blocks are written ONCE as a parquet dataset
+    partitioned by partition_id and each superstep runs against the
+    EXECUTOR-RESIDENT store: only the O(V) frontier enters the plan — block
+    bytes are loaded from the store by the reused Python workers on first
+    touch and cached in-process (blockstore.py). This removes the
+    per-superstep O(E) Arrow transfer that dominates the cogroup modes on
+    dense graphs; scores are bit-identical (same kernels).
     """
     from pyspark.sql import Window
 
     from cuttana_spark.analytics.csr import pack_blocks, scatter_gather
 
+    if bucketed_table is not None and block_store is not None:
+        raise ValueError("pass at most one of bucketed_table / block_store")
     edges = edges.select("src", "dst", F.col("weight").cast("double"))
     nodes = _nodes(edges)
     # window-built transition matrix — see pagerank(): no out_w subtree,
@@ -278,7 +290,18 @@ def pagerank_csr(
         "dst",
         (F.col("weight") / F.sum("weight").over(Window.partitionBy("src"))).alias("p"),
     )
-    if bucketed_table is not None:
+    if block_store is not None:
+        from cuttana_spark.analytics.blockstore import (
+            ensure_block_store,
+            scatter_gather_resident,
+        )
+
+        ensure_block_store(trans, vertex_partitions, block_store)
+        blocks = None
+        gather = lambda frontier: scatter_gather_resident(
+            spark, block_store, frontier
+        )
+    elif bucketed_table is not None:
         if not spark.catalog.tableExists(bucketed_table):
             k = num_buckets or int(
                 vertex_partitions.agg(F.max("partition_id")).first()[0]
@@ -287,9 +310,11 @@ def pagerank_csr(
                 k, "partition_id"
             ).mode("overwrite").saveAsTable(bucketed_table)
         blocks = spark.table(bucketed_table)
+        gather = lambda frontier: scatter_gather(spark, blocks, frontier)
     else:
         blocks = pack_blocks(trans, vertex_partitions).cache()
         blocks.count()  # materialize once; reused every superstep
+        gather = lambda frontier: scatter_gather(spark, blocks, frontier)
     vp = vertex_partitions.select("vertex", "partition_id")
     # carry partition_id through the loop so each superstep needs no extra
     # score→partition join (vertices without a partition — possible only for
@@ -316,7 +341,7 @@ def pagerank_csr(
     n = row.n
     if n == 0:
         nodes_flags.unpersist(False)
-        if bucketed_table is None:
+        if bucketed_table is None and block_store is None:
             blocks.unpersist(False)
         return spark.createDataFrame([], "vertex long, score double")
     has_dangling = row.n_dangling > 0
@@ -341,7 +366,7 @@ def pagerank_csr(
 
     for it in range(start_iter, max_iter):
         _t_it = _time.monotonic()
-        contribs = scatter_gather(spark, blocks, ranks)
+        contribs = gather(ranks)
         joined = nodes_pid.join(contribs, nodes_pid.vertex == contribs.dst, "left")
         if has_dangling:
             # in-plan dangling mass (broadcast 1-row aggregate) — see pagerank()
@@ -384,7 +409,7 @@ def pagerank_csr(
         if err < n * tol:
             break
     nodes_flags.unpersist(False)
-    if bucketed_table is None:
+    if bucketed_table is None and block_store is None:
         blocks.unpersist(False)
     return ck.finish(ranks).select("vertex", "score")
 
