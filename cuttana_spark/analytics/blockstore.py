@@ -3,13 +3,12 @@
 The bucketed-table mode of the CSR path (csr.py, pagerank_csr) elides the
 O(E) SHUFFLE each superstep, but still re-scans the block table and re-feeds
 every block binary through the Arrow pipe into the Python workers on EVERY
-superstep. Measured on a 32M-edge band digraph at local[32]
-(jobs/bench_density.py): that transfer dominates — the cogroup superstep is
-3-8x slower than the plain DataFrame join even under a perfect partition
-map. At 10^12-edge scale the per-superstep O(E) executor→Python transfer is
-the bottleneck the whole frontier-only design exists to avoid.
+superstep. With the sort-free kernels that transfer is tolerable on one box
+(jobs/bench_density.py), but it is still O(E) executor→Python bytes per
+superstep — at 10^12-edge scale it is the recurring cost the frontier-only
+design exists to avoid.
 
-This module fixes it structurally, the way a long-lived cluster would:
+This module removes it structurally, the way a long-lived cluster would:
 
 * ``write_block_store`` packs the blocks ONCE (csr.pack_blocks — the same
   one-shuffle routing) and lays them out as a parquet dataset partitioned by
@@ -18,19 +17,19 @@ This module fixes it structurally, the way a long-lived cluster would:
 * ``scatter_gather_resident`` / ``gather_label_counts_resident`` run the
   SAME kernels as csr.py (imported, not copied — bit-identical scores), but
   the superstep is ``applyInPandas`` over the frontier ALONE, grouped by
-  partition_id. Blocks never enter the plan: each Python worker loads its
-  group's blocks from the store on first touch and keeps the DECODED numpy
-  arrays in a process-level LRU cache. Spark reuses Python workers across
-  tasks and supersteps (``spark.python.worker.reuse`` defaults to true), so
-  after warmup a superstep moves O(V) rows through Arrow and zero block
-  bytes — gather·multiply·bincount against memory-resident arrays.
+  partition_id. Blocks never enter the plan: workers materialize them from
+  the store through a NODE-SHARED mmap arena (see the arena section below)
+  — decoded once per node, mapped read-only by every worker process — so a
+  steady-state superstep moves O(V) rows through Arrow and zero block
+  bytes: gather·multiply·bincount against shared memory-resident arrays.
 
-Cache coherence: the cache key includes the store's ``_SUCCESS`` mtime, so
-rewriting a store under the same path invalidates stale entries naturally.
-Per-worker memory is bounded by ``CUTTANA_BLOCK_CACHE_BYTES`` (default
-2 GiB) with LRU eviction; at 1000-executor scale each executor holds only
-the partitions it repeatedly serves — the same working-set behavior as a
-JVM-cached edge RDD in GraphX, without shipping edges through Python.
+Cache coherence: arena directories and handle-cache keys include the
+store's ``_SUCCESS`` mtime, so rewriting a store under the same path
+invalidates stale entries naturally; ``drop_block_store`` removes a store
+and every arena generation derived from it. At 1000-executor scale each
+node's arena holds only the partitions its tasks actually serve — the same
+working-set behavior as a JVM-cached edge RDD in GraphX, without shipping
+edges through Python and without one copy per Python worker.
 
 The reference (Jacob-Chmura/cuttana, src/partitioner.rs) is the partitioner
 that PRODUCES the vertex→partition map; this store is how the analytics
@@ -39,7 +38,10 @@ layer monetizes that map's locality at scale.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import tempfile
 from collections import OrderedDict
 
 import numpy as np
@@ -55,9 +57,6 @@ from cuttana_spark.analytics.csr import (
     pack_blocks,
     pr_partials,
 )
-
-_DEFAULT_CACHE_BYTES = 2 << 30
-
 
 def write_block_store(
     trans: DataFrame, vertex_partitions: DataFrame, path: str
@@ -83,15 +82,31 @@ def ensure_block_store(
 
 
 # ---------------------------------------------------------------------------
-# worker-side block cache (lives in each reused Python worker process)
+# node-shared mmap arena + per-worker handle cache
+#
+# A reused Python worker has no say in WHICH frontier groups the scheduler
+# hands it: group->worker assignment is effectively random every superstep,
+# so a purely per-process cache warms coupon-collector slowly (measured:
+# 54% miss rate after 20 supersteps at 64 partitions x 32 workers) and
+# duplicates the decoded store once per process (32x RSS on one box). The
+# fix is to share the DECODED arrays at the node level: the first worker to
+# touch a partition decodes it ONCE into flat .npy files in an arena
+# directory (tmpfs by default), committed atomically (arrays first, meta
+# last, os.replace); every other worker then np.load(mmap_mode="r")s the
+# same files, so all processes on the node share one page-cache copy and
+# every partition is warm after the first superstep (which touches all of
+# them). On a multi-node cluster each node builds only the partitions its
+# tasks actually serve; the arena is keyed by the store's _SUCCESS mtime so
+# a rewritten store never serves stale bytes. Concurrent builders are
+# harmless: the decode is deterministic, so last-replace-wins is identical
+# content.
 # ---------------------------------------------------------------------------
 
-_CACHE: "OrderedDict[tuple, tuple[list, int]]" = OrderedDict()
-_CACHE_BYTES = 0
+_CACHE: "OrderedDict[tuple, list]" = OrderedDict()
+_CACHE_ENTRIES = 4096  # mmap handles are cheap; cap guards pathological stores
 
-
-def _cache_cap() -> int:
-    return int(os.environ.get("CUTTANA_BLOCK_CACHE_BYTES", _DEFAULT_CACHE_BYTES))
+_ARRAYS = ("src_idx", "ud", "inv", "ps")
+_DTYPES = {"src_idx": np.int32, "ud": np.int64, "inv": np.int32, "ps": np.float64}
 
 
 def _store_key(path: str) -> tuple:
@@ -103,49 +118,132 @@ def _store_key(path: str) -> tuple:
     return (p, mtime)
 
 
-def _decode_table(tbl) -> tuple[list, int]:
+def _arena_dir(path: str) -> str:
+    base = os.environ.get("CUTTANA_BLOCK_ARENA")
+    if base is None:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    p, mtime = _store_key(path)
+    h = hashlib.sha1(p.encode()).hexdigest()[:16]
+    return os.path.join(base, f"cuttana_arena_{h}_{int(mtime)}")
+
+
+def drop_block_store(path: str) -> None:
+    """Remove a store directory AND every arena ever derived from it (any
+    mtime generation). Benches/tests should use this instead of a bare
+    rmtree so tmpfs arenas don't outlive their store."""
+    import glob
+    import shutil
+
+    p = os.path.abspath(path)
+    shutil.rmtree(p, ignore_errors=True)
+    h = hashlib.sha1(p.encode()).hexdigest()[:16]
+    for base in {os.environ.get("CUTTANA_BLOCK_ARENA"), "/dev/shm", tempfile.gettempdir()}:
+        if base and os.path.isdir(base):
+            for d in glob.glob(os.path.join(base, f"cuttana_arena_{h}_*")):
+                shutil.rmtree(d, ignore_errors=True)
+
+
+def _decode_table(tbl) -> list:
     cols = tbl.to_pydict()
-    blocks, nbytes = [], 0
+    blocks = []
     for i in range(tbl.num_rows):
-        b = {
-            "n_verts": int(cols["n_verts"][i]),
-            "v_min": int(cols["v_min"][i]),
-            "v_max": int(cols["v_max"][i]),
-            "src_idx": np.frombuffer(cols["src_idx"][i], np.int32),
-            "ud": np.frombuffer(cols["ud"][i], np.int64),
-            "inv": np.frombuffer(cols["inv"][i], np.int32),
-            "ps": np.frombuffer(cols["ps"][i], np.float64),
-        }
-        nbytes += (
-            b["src_idx"].nbytes + b["ud"].nbytes + b["inv"].nbytes + b["ps"].nbytes
+        blocks.append(
+            {
+                "n_verts": int(cols["n_verts"][i]),
+                "v_min": int(cols["v_min"][i]),
+                "v_max": int(cols["v_max"][i]),
+                "src_idx": np.frombuffer(cols["src_idx"][i], np.int32),
+                "ud": np.frombuffer(cols["ud"][i], np.int64),
+                "inv": np.frombuffer(cols["inv"][i], np.int32),
+                "ps": np.frombuffer(cols["ps"][i], np.float64),
+            }
         )
+    return blocks
+
+
+def _build_arena(part_dir: str, arena: str, pid: int) -> None:
+    """Decode one partition's parquet into flat per-array .npy files +
+    a chunk-offset meta. Commit order: arrays via os.replace first, meta
+    last — meta presence IS the commit point readers key on."""
+    import pyarrow.parquet as pq
+
+    blocks = _decode_table(pq.read_table(part_dir))
+    os.makedirs(arena, exist_ok=True)
+    meta, cat = [], {a: [] for a in _ARRAYS}
+    offs = {a: 0 for a in _ARRAYS}
+    for b in blocks:
+        ent = {"n_verts": b["n_verts"], "v_min": b["v_min"], "v_max": b["v_max"]}
+        for a in _ARRAYS:
+            ent[a] = [offs[a], offs[a] + b[a].shape[0]]
+            offs[a] += b[a].shape[0]
+            cat[a].append(b[a])
+        meta.append(ent)
+    tag = f".tmp{os.getpid()}"
+    for a in _ARRAYS:
+        arr = (
+            np.concatenate(cat[a]) if cat[a] else np.empty(0, _DTYPES[a])
+        )
+        tmp = os.path.join(arena, f"{pid}.{a}.npy{tag}")
+        with open(tmp, "wb") as fh:
+            np.save(fh, arr)
+        os.replace(tmp, os.path.join(arena, f"{pid}.{a}.npy"))
+    mt = os.path.join(arena, f"{pid}.meta.json{tag}")
+    with open(mt, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(mt, os.path.join(arena, f"{pid}.meta.json"))
+
+
+def _load_arena(arena: str, pid: int):
+    meta_p = os.path.join(arena, f"{pid}.meta.json")
+    if not os.path.exists(meta_p):
+        return None
+    with open(meta_p) as fh:
+        meta = json.load(fh)
+    mm = {
+        a: np.load(os.path.join(arena, f"{pid}.{a}.npy"), mmap_mode="r")
+        for a in _ARRAYS
+    }
+    blocks = []
+    for ent in meta:
+        b = {k: ent[k] for k in ("n_verts", "v_min", "v_max")}
+        for a in _ARRAYS:
+            lo, hi = ent[a]
+            b[a] = mm[a][lo:hi]
         blocks.append(b)
-    return blocks, nbytes
+    return blocks
 
 
 def load_blocks(path: str, pid: int) -> list:
-    """Decoded CSR blocks for one partition, via the process-level LRU.
-    Missing partition directory (a partition with vertices but no edges, or
-    the pid=-1 dangling bucket) → []. Chunk-row order within a partition is
-    irrelevant to the kernels (cross-chunk merge is np.unique-keyed)."""
-    global _CACHE_BYTES
+    """Decoded CSR blocks for one partition: mmap views onto the node-shared
+    arena (built on first touch by whichever worker gets there first), held
+    in a small per-process handle cache. Missing partition directory (a
+    partition with vertices but no edges, or the pid=-1 dangling bucket)
+    → []. Chunk-row order within a partition is irrelevant to the kernels
+    (cross-chunk merge is np.unique-keyed)."""
     key = (_store_key(path), int(pid))
     hit = _CACHE.get(key)
+    log = os.environ.get("CUTTANA_BLOCK_LOG")
+    if log:  # diagnostic only: one line per lookup, keyed by worker pid
+        with open(log, "a") as fh:
+            fh.write(
+                f"{os.getpid()} {int(pid)} {'hit' if hit is not None else 'miss'} "
+                f"{__import__('time').time():.3f}\n"
+            )
     if hit is not None:
         _CACHE.move_to_end(key)
-        return hit[0]
-    part_dir = os.path.join(path, f"partition_id={int(pid)}")
-    if os.path.isdir(part_dir):
-        import pyarrow.parquet as pq
-
-        blocks, nbytes = _decode_table(pq.read_table(part_dir))
+        return hit
+    part_dir = os.path.join(os.path.abspath(path), f"partition_id={int(pid)}")
+    if not os.path.isdir(part_dir):
+        blocks = []
     else:
-        blocks, nbytes = [], 0
-    _CACHE[key] = (blocks, nbytes)
-    _CACHE_BYTES += nbytes
-    while _CACHE_BYTES > _cache_cap() and len(_CACHE) > 1:
-        _, (_, old_bytes) = _CACHE.popitem(last=False)
-        _CACHE_BYTES -= old_bytes
+        arena = _arena_dir(path)
+        blocks = _load_arena(arena, pid)
+        if blocks is None:
+            _build_arena(part_dir, arena, pid)
+            blocks = _load_arena(arena, pid)
+    _CACHE[key] = blocks
+    while len(_CACHE) > _CACHE_ENTRIES:
+        _CACHE.popitem(last=False)
     return blocks
 
 

@@ -69,11 +69,12 @@ else:
     vp = verts.select(F.col("src").alias("vertex"), pid.alias("partition_id")).cache()
     vp.count()
     if subj.startswith("res_"):  # executor-resident block store
+        from cuttana_spark.analytics.blockstore import drop_block_store
         store = f"/dev/shm/density_store_{{subj}}_{{d}}"
-        shutil.rmtree(store, ignore_errors=True)
+        drop_block_store(store)
         pagerank_csr(spark, edges, vp, max_iter=iters, tol=0.0,
                      checkpoint_interval=1, iter_walls=walls, block_store=store)
-        shutil.rmtree(store, ignore_errors=True)
+        drop_block_store(store)
     else:
         tbl = f"density_blocks_{{subj}}_{{d}}"
         spark.sql(f"DROP TABLE IF EXISTS {{tbl}}")

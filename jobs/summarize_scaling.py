@@ -124,7 +124,9 @@ def main() -> None:
         for subj in subjects
     }
 
-    headline_subj = "pagerank_csr" if "pagerank_csr" in subjects else "pagerank"
+    headline_subj = next(
+        s for s in ("pagerank_res", "pagerank_csr", "pagerank") if s in subjects
+    )
     out = {
         "metric": "pagerank_scaling_efficiency_N_to_4N",
         "value": effs[headline_subj]["median_of_rep_mins"]["2_to_8"],

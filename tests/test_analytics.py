@@ -481,13 +481,18 @@ def test_lpa_and_kcore_resident_match_cogroup(spark, tmp_path):
     assert kc_a == {v for v, c in nx.core_number(Gm).items() if c >= 3}
 
 
-def test_block_store_cache_lru_and_invalidation(spark, tmp_path, monkeypatch):
-    """Driver-side unit test of the worker cache: hits skip the parquet
-    read, the byte cap evicts LRU entries, and rewriting a store under the
-    same path (new _SUCCESS mtime) invalidates stale entries."""
-    import cuttana_spark.analytics.blockstore as B
-    from cuttana_spark.analytics.csr import pack_blocks
+def test_block_store_arena_sharing_and_invalidation(spark, tmp_path, monkeypatch):
+    """Driver-side unit test of the node-shared arena: the first touch of a
+    partition decodes parquet once into the arena; later touches — including
+    from a FRESH process cache (another worker) — mmap the arena without
+    re-reading parquet; rewriting a store under the same path (new _SUCCESS
+    mtime) re-keys the arena; drop_block_store removes every generation."""
+    import os as _os
+    import time as _time
 
+    import cuttana_spark.analytics.blockstore as B
+
+    monkeypatch.setenv("CUTTANA_BLOCK_ARENA", str(tmp_path / "arena"))
     edges = spark.createDataFrame(
         [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0), (3, 0, 1.0)],
         "src long, dst long, weight double",
@@ -497,9 +502,7 @@ def test_block_store_cache_lru_and_invalidation(spark, tmp_path, monkeypatch):
     )
     path = str(tmp_path / "store")
     B.write_block_store(edges, vp, path)
-
     B._CACHE.clear()
-    B._CACHE_BYTES = 0
     calls = {"n": 0}
     real = __import__("pyarrow.parquet", fromlist=["read_table"]).read_table
 
@@ -511,27 +514,34 @@ def test_block_store_cache_lru_and_invalidation(spark, tmp_path, monkeypatch):
     b1 = B.load_blocks(path, 0)
     assert calls["n"] == 1 and len(b1) == 1
     b2 = B.load_blocks(path, 0)
-    assert calls["n"] == 1 and b2 is b1  # cache hit, no re-read
+    assert calls["n"] == 1 and b2 is b1  # handle-cache hit, no re-read
     assert B.load_blocks(path, 99) == []  # missing pid dir -> empty
 
-    # byte cap: force eviction of pid 0 by loading pid 1 under a 1-byte cap
-    monkeypatch.setenv("CUTTANA_BLOCK_CACHE_BYTES", "1")
-    B.load_blocks(path, 1)
-    assert calls["n"] == 2
-    B.load_blocks(path, 0)
-    assert calls["n"] == 3  # was evicted, re-read
+    # ANOTHER worker (fresh process cache) must hit the shared arena — the
+    # parquet decode happens once per NODE, not once per process
+    B._CACHE.clear()
+    b3 = B.load_blocks(path, 0)
+    assert calls["n"] == 1  # no parquet re-read: mmap'd from the arena
+    assert [(x["n_verts"], x["v_min"], x["v_max"]) for x in b3] == [
+        (x["n_verts"], x["v_min"], x["v_max"]) for x in b1
+    ]
+    import numpy as _np
 
-    # rewrite under same path -> new _SUCCESS mtime -> stale key miss
-    monkeypatch.delenv("CUTTANA_BLOCK_CACHE_BYTES")
-    import os as _os
-    import time as _time
+    for a in ("src_idx", "ud", "inv", "ps"):
+        assert _np.array_equal(_np.asarray(b3[0][a]), _np.asarray(b1[0][a]))
 
+    # rewrite under same path -> new _SUCCESS mtime -> new arena generation
     _time.sleep(0.05)
     B.write_block_store(edges, vp, path)
     _os.utime(_os.path.join(path, "_SUCCESS"))
     before = calls["n"]
     B.load_blocks(path, 0)
-    assert calls["n"] == before + 1
+    assert calls["n"] == before + 1  # stale key+arena missed, re-decoded
+
+    # drop_block_store removes the store and every arena generation
+    B.drop_block_store(path)
+    assert not _os.path.exists(path)
+    assert _os.listdir(str(tmp_path / "arena")) == []
 
 
 def test_resident_superstep_plan_has_no_block_scan(spark, tmp_path):
