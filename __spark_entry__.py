@@ -365,6 +365,22 @@ def _q_cc_transcripts(spark, sf_dir):
     ).limit(20)
 
 
+def _q_cc_accel_transcripts(spark, sf_dir):
+    """Connected components with the CSR min-propagation CONTRACTION
+    pre-pass FORCED (accel_min_edges=0; at sf0.01 the auto threshold would
+    skip it). Same oracle as cc_transcripts — the hybrid must produce the
+    identical component labelling, so a contraction bug (wrong ball min,
+    lost boundary edge, bad label→component mapback) hash-mismatches."""
+    from cuttana_spark.analytics.components import connected_components
+    from cuttana_spark.operators import edges as E
+
+    nodes, eids = E.transcript_edges(_transcripts(spark))
+    cc = connected_components(spark, eids, accel_rounds=4, accel_min_edges=0)
+    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("size")).orderBy(
+        F.desc("size"), "component"
+    ).limit(20)
+
+
 def _q_lpa_events(spark, sf_dir):
     """Synchronous LPA, 4 supersteps. Oracled: deterministic tie-break
     (count DESC, label ASC) unrolled in SQL (_lpa_sql)."""
@@ -578,12 +594,14 @@ def _q_pagerank_csr_transcripts(spark, sf_dir):
 
 def _q_pagerank_resident_transcripts(spark, sf_dir):
     """CSR PageRank via the EXECUTOR-RESIDENT block store (blockstore.py):
-    only the O(V) frontier enters each superstep's plan; reused Python
-    workers cache the decoded blocks in-process. Same shared kernel as
+    only the O(V) frontier enters each superstep's plan; workers mmap the
+    decoded blocks from a node-shared tmpfs arena. Same shared kernel as
     pagerank_csr_transcripts, same relational oracle — a transport bug
-    (stale cache, wrong pid routing, dropped chunk) would hash-mismatch."""
+    (stale arena, wrong pid routing, dropped chunk) would hash-mismatch."""
+    import shutil
     import tempfile
 
+    from cuttana_spark.analytics.blockstore import drop_block_store
     from cuttana_spark.analytics.pagerank import pagerank_csr
     from cuttana_spark.operators import edges as E
     from cuttana_spark.partition.batched import cuttana_partition_df_batched
@@ -597,6 +615,11 @@ def _q_pagerank_resident_transcripts(spark, sf_dir):
     pr = pagerank_csr(
         spark, sym, vp, max_iter=3, tol=0.0, block_store=store + "/blocks"
     )
+    # the final ranks are eagerly localCheckpointed inside pagerank_csr, so
+    # the returned plan no longer reads the store — reclaim the tempdir and
+    # the /dev/shm arena generations now rather than leaking tmpfs memory
+    drop_block_store(store + "/blocks")
+    shutil.rmtree(store, ignore_errors=True)
     return (
         pr.select("vertex", F.round(F.col("score") * 1e9).cast("long").alias("score_e9"))
         .orderBy(F.desc("score_e9"), "vertex")
@@ -2090,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walks_transcripts": _q_walks_transcripts,
         "triangles_transcripts": _q_triangles_transcripts,
         "cc_transcripts": _q_cc_transcripts,
+        "cc_accel_transcripts": _q_cc_accel_transcripts,
         "lpa_events": _q_lpa_events,
         "lpa_csr_events": _q_lpa_csr_events,
         "partition_transcripts": _q_partition_transcripts,
@@ -2154,6 +2178,7 @@ def oracle_sql() -> dict[str, str]:
         "walks_transcripts": _walks_sql(),
         "triangles_transcripts": _TRIANGLES_SQL,
         "cc_transcripts": _cc_sql(),
+        "cc_accel_transcripts": _cc_sql(),
         "lpa_events": _lpa_sql(),
         "lpa_csr_events": _lpa_sql(),
         "pagerank_csr_transcripts": _pagerank_csr_sql(),

@@ -54,31 +54,34 @@ from cuttana_spark.analytics.csr import (
     _check_frontier,
     _sorted_frontier,
     lpa_partials,
+    min_partials,
     pack_blocks,
     pr_partials,
 )
 
 def write_block_store(
-    trans: DataFrame, vertex_partitions: DataFrame, path: str
+    trans: DataFrame, vertex_partitions: DataFrame, path: str, src_pid=None
 ) -> None:
     """Pack CSR blocks (one edge shuffle, csr.pack_blocks) and write them as
     a parquet dataset partitioned by partition_id. ``trans``: (src, dst, p).
     Overwrites ``path``; the _SUCCESS marker's mtime versions the store for
-    every worker-side cache."""
-    pack_blocks(trans, vertex_partitions).write.partitionBy(
+    every worker-side cache. ``src_pid``: optional routing expression
+    (csr.pack_blocks) — skips the O(E)⋈O(V) routing join when the partition
+    map is itself an expression of the vertex id."""
+    pack_blocks(trans, vertex_partitions, src_pid=src_pid).write.partitionBy(
         "partition_id"
     ).mode("overwrite").parquet(path)
 
 
 def ensure_block_store(
-    trans: DataFrame, vertex_partitions: DataFrame, path: str
+    trans: DataFrame, vertex_partitions: DataFrame, path: str, src_pid=None
 ) -> None:
     """write_block_store unless ``path`` already holds a completed store.
     Reuse is keyed by path alone (mirrors the bucketed_table contract):
     the caller owns the store's lifecycle, and the kernel's frontier guard
     rejects a store whose vertex set no longer matches the graph."""
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_block_store(trans, vertex_partitions, path)
+        write_block_store(trans, vertex_partitions, path, src_pid=src_pid)
 
 
 # ---------------------------------------------------------------------------
@@ -300,3 +303,26 @@ def gather_label_counts_resident(
     return labels.groupby("partition_id").applyInPandas(
         step, "dst long, label long, cnt long"
     )
+
+
+def gather_min_resident(
+    spark: SparkSession, store_path: str, labels: DataFrame
+) -> DataFrame:
+    """One min-propagation gather against the resident store (shared
+    csr.min_partials kernel; see csr.gather_min for semantics). Used by
+    connected_components' contraction pre-pass in block_store mode — the
+    O(E) block bytes stay node-resident; each round ships only the O(V)
+    label frontier."""
+
+    def step(key, pdf: pd.DataFrame):
+        blocks = load_blocks(store_path, int(key[0]))
+        if not blocks or pdf.empty:
+            return pd.DataFrame(
+                {"dst": pd.Series(dtype="int64"), "mlab": pd.Series(dtype="int64")}
+            )
+        lv, lb = _sorted_frontier(pdf, "label", np.int64)
+        for b in blocks:
+            _check_frontier(b, lv)
+        return min_partials(blocks, lb)
+
+    return labels.groupby("partition_id").applyInPandas(step, "dst long, mlab long")

@@ -67,6 +67,10 @@ def connected_components(
     runner=None,
     sig_every: int = 1,
     round_walls: list | None = None,
+    accel_rounds: int = 0,
+    accel_min_edges: int = 200_000,
+    accel_partitions: int = 32,
+    block_store: str | None = None,
 ) -> DataFrame:
     """edges: undirected (src, dst[, weight]) → DataFrame[vertex, component]
     where component = min vertex id of the component.
@@ -78,7 +82,37 @@ def connected_components(
     HINT, never a stop). Worth >1 only if the signature job costs a
     meaningful fraction of a round; measure before changing the default.
     ``round_walls``: optional list receiving one dict per executed round
-    ({"round", "wall", "sig_wall"}) for profiling."""
+    ({"round", "wall", "sig_wall"}) for profiling.
+
+    ``accel_rounds``: number of CSR min-propagation CONTRACTION rounds run
+    before the star loop (0 = off, the default). Each star round shuffles
+    and rewrites the full O(E) edge set twice; a min-propagation round over
+    packed CSR blocks (csr.py) shuffles only the O(V) label frontier — the
+    blocks are packed once with one shuffle. After r rounds every vertex
+    carries the minimum vertex id of its radius-r ball, so contiguous
+    regions collapse: relabeling the edges by their endpoints' labels and
+    deduping shrinks the edge set ~(2r)× on chain-rich graphs (measured
+    11.6× at r=4 on the transcript bench graph), and the star loop then
+    runs on the contracted remainder. Exactness: label[v] is always a
+    vertex id inside v's own component, and the component's global minimum
+    m always keeps label m (m is the min of its own ball), so (a) every
+    contracted-graph vertex id is an original id from the same component,
+    and (b) whenever a component spans ≥2 labels, a boundary edge (p,q)
+    with label[p]=m injects m into the contracted graph — the star loop's
+    min over the contracted component is therefore exactly m, and
+    single-label components are their own m. Skipped when ``runner`` is set
+    (resume state is the star loop's edge multiset) or when the edge count
+    is below ``accel_min_edges``.
+
+    WHEN IT PAYS (measured): the pre-pass moves O(V) per round where a star
+    round moves O(E) — so it wins when E ≫ V AND block bytes don't re-enter
+    the plan each round, i.e. with ``block_store`` set (the node-resident
+    mmap arena, blockstore.py). On the E≈V bench graph it is a wash, and in
+    cogroup mode (block_store=None) the per-round O(E) Arrow re-feed eats
+    the savings even at E/V=5 — keep it off unless the graph is dense and a
+    store path (shared storage on a real cluster, tmpfs locally) is
+    available. ``block_store``: directory for the packed blocks; the caller
+    owns the lifecycle (drop_block_store when done)."""
     nodes = (
         edges.select(F.col("src").alias("vertex"))
         .unionAll(edges.select(F.col("dst").alias("vertex")))
@@ -99,6 +133,112 @@ def connected_components(
         if resumed is not None:
             start, e = resumed
             e = ck.checkpoint(e)
+
+    if accel_rounds > 0 and runner is None and e.count() >= accel_min_edges:
+        import time as _time
+
+        from cuttana_spark.analytics.csr import gather_min, pack_blocks
+
+        # synthetic hash partition map — CC needs no Cuttana map, only a
+        # consistent routing of edges to their source's partition. Because
+        # the map is an EXPRESSION (pmod(xxhash64(v), k)), routing the edges
+        # needs no O(E)⋈O(V) join (pack_blocks src_pid=) and the per-round
+        # label update needs no re-attach join: partition_id is recomputed
+        # from the vertex id for free inside codegen.
+        def _pid_of(col):
+            return F.pmod(F.xxhash64(col), F.lit(accel_partitions)).cast("int")
+
+        vp = nodes.select("vertex", _pid_of(F.col("vertex")).alias("partition_id"))
+        sym = e.unionAll(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("p")
+        )
+        if block_store is not None:
+            from cuttana_spark.analytics.blockstore import (
+                ensure_block_store,
+                gather_min_resident,
+            )
+
+            ensure_block_store(sym, vp, block_store, src_pid=_pid_of(F.col("src")))
+            blocks = None
+            _gather = lambda lbls: gather_min_resident(spark, block_store, lbls)
+        else:
+            blocks = pack_blocks(sym, vp, src_pid=_pid_of(F.col("src"))).cache()
+            blocks.count()  # one O(E) pack shuffle, reused every accel round
+            _gather = lambda lbls: gather_min(spark, blocks, lbls)
+        # One shuffle per round: the vertex's own label rides in the same
+        # union as the gathered neighbor partials, so min-combining them IS
+        # the new label relation — no join, no per-round eager checkpoint
+        # (the rounds chain lazily like pagerank's fixed-iteration mode and
+        # materialize as ONE dag inside the final checkpoint; intermediate
+        # rounds persist only as reusable shuffle outputs).
+        lck = CheckpointCycler(spark, keep_generations=1)
+        labels = lck.checkpoint(vp.withColumn("label", F.col("vertex")))
+        for r in range(accel_rounds):
+            t0 = _time.monotonic()
+            partials = _gather(labels).select("dst", "mlab")
+            labels = lck.checkpoint(
+                partials.unionAll(
+                    labels.select(
+                        F.col("vertex").alias("dst"), F.col("label").alias("mlab")
+                    )
+                )
+                .groupBy("dst")
+                .agg(F.min("mlab").alias("label"))
+                .select(
+                    F.col("dst").alias("vertex"),
+                    _pid_of(F.col("dst")).alias("partition_id"),
+                    "label",
+                )
+            )
+            if round_walls is not None:
+                round_walls.append(
+                    {
+                        "round": -(r + 1),  # accel rounds count down from -1
+                        "wall": _time.monotonic() - t0,
+                        "sig_wall": 0.0,
+                    }
+                )
+        if blocks is not None:
+            blocks.unpersist(False)
+        la = labels.select(F.col("vertex").alias("a"), F.col("label").alias("la"))
+        lb = labels.select(F.col("vertex").alias("b"), F.col("label").alias("lb"))
+        contracted = (
+            e.join(la, "a")
+            .join(lb, "b")
+            .filter(F.col("la") != F.col("lb"))
+            .select(
+                F.least("la", "lb").alias("src"), F.greatest("la", "lb").alias("dst")
+            )
+            .distinct()
+        )
+        tail = connected_components(
+            spark,
+            contracted,
+            max_rounds=max_rounds,
+            sig_every=sig_every,
+            round_walls=round_walls,
+            accel_rounds=0,
+        )
+        out = (
+            labels.join(
+                tail.select(
+                    F.col("vertex").alias("label"), F.col("component").alias("_c")
+                ),
+                "label",
+                "left",
+            )
+            .select("vertex", F.coalesce("_c", "label").alias("component"))
+        )
+        # eagerly materialize the O(V) result, then release everything it
+        # was built from — the original O(E) edge checkpoint, the label
+        # chain, and the nodes cache. Residency at return is O(V), matching
+        # the star-loop path (which pins its final star forest).
+        out = ck.checkpoint(out)
+        lck.close()
+        nodes.unpersist(False)
+        return ck.finish(out)
 
     def _sig(df, canonical: bool = False) -> tuple:
         # order-insensitive canonical-edge-set signature: one cheap aggregate

@@ -53,14 +53,22 @@ _EMPTY_CONTRIB = {
 }
 
 
-def pack_blocks(trans: DataFrame, vertex_partitions: DataFrame) -> DataFrame:
+def pack_blocks(
+    trans: DataFrame, vertex_partitions: DataFrame, src_pid=None
+) -> DataFrame:
     """trans: (src, dst, p). Returns chunked CSR blocks per partition_id.
 
     vertex_partitions must map EXACTLY the graph's vertex set (the Cuttana
     partitioner over the same graph's adjacency does): edges whose source
     has no mapping are dropped by the routing join, and a partition map
     with extra vertices would later fail the kernel's frontier guard.
-    """
+
+    src_pid: optional Column computing the source's partition id directly
+    from the ``src`` column (e.g. ``pmod(xxhash64(src), k)`` for a synthetic
+    hash map). When given, the O(E)⋈O(V) routing join is skipped entirely —
+    the caller GUARANTEES the expression equals vertex_partitions' mapping
+    (connected_components' contraction pre-pass does: both sides derive
+    from the same expression)."""
 
     def pack(key, edge_pdf: pd.DataFrame, vp_pdf: pd.DataFrame):
         empty = pd.DataFrame(
@@ -115,9 +123,12 @@ def pack_blocks(trans: DataFrame, vertex_partitions: DataFrame) -> DataFrame:
     # alias the routing key so the cogroup's two sides don't share the same
     # partition_id attribute (vertex_partitions feeds both — Spark rejects
     # the ambiguous self-reference otherwise)
-    routed = trans.join(
-        vertex_partitions.withColumnRenamed("vertex", "src"), "src"
-    ).select(F.col("partition_id").alias("pid"), "src", "dst", "p")
+    if src_pid is not None:
+        routed = trans.select(src_pid.alias("pid"), "src", "dst", "p")
+    else:
+        routed = trans.join(
+            vertex_partitions.withColumnRenamed("vertex", "src"), "src"
+        ).select(F.col("partition_id").alias("pid"), "src", "dst", "p")
     return (
         routed.groupby("pid")
         .cogroup(vertex_partitions.groupby("partition_id"))
@@ -207,6 +218,60 @@ def lpa_partials(blocks: list, lb: np.ndarray) -> pd.DataFrame:
             "label": np.concatenate(ll),
             "cnt": np.concatenate(cc),
         }
+    )
+
+
+def min_partials(blocks: list, lb: np.ndarray) -> pd.DataFrame:
+    """Min-label gather kernel over decoded blocks: per-dst MINIMUM of the
+    gathered source labels — one row per (chunk, dst). Lexsort by (label,
+    inv) then keep the first row of each inv run: that row's label is the
+    run minimum. Empty-edge chunks contribute nothing. ``lb``: frontier
+    labels sorted by vertex. Used by connected_components' contraction
+    pre-pass (components.py) — min is duplicate-insensitive, so duplicate
+    edges in the packed blocks are harmless."""
+    dd, mm = [], []
+    for b in blocks:
+        sl = lb[b["src_idx"]]
+        inv, ud = b["inv"], b["ud"]
+        if inv.shape[0] == 0:
+            continue
+        idx = np.lexsort((sl, inv))
+        d, l = inv[idx], sl[idx]
+        first = np.empty(d.shape[0], bool)
+        first[0] = True
+        first[1:] = d[1:] != d[:-1]
+        dd.append(ud[d[first]])
+        mm.append(l[first])
+    if not dd:
+        return pd.DataFrame(
+            {"dst": pd.Series(dtype="int64"), "mlab": pd.Series(dtype="int64")}
+        )
+    return pd.DataFrame({"dst": np.concatenate(dd), "mlab": np.concatenate(mm)})
+
+
+def gather_min(spark, blocks: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-propagation gather: labels (vertex, label, partition_id) ×
+    blocks → per-block (dst, mlab) partials. Only the O(V) label frontier is
+    shuffled; the global merge is groupBy(dst).min(mlab), which receives at
+    most one row per (block, dst) — hub fan-in is bounded exactly as in
+    scatter_gather."""
+
+    def step(key, block_pdf: pd.DataFrame, label_pdf: pd.DataFrame):
+        empty = pd.DataFrame(
+            {"dst": pd.Series(dtype="int64"), "mlab": pd.Series(dtype="int64")}
+        )
+        if block_pdf.empty or label_pdf.empty:
+            return empty
+        lv, lb = _sorted_frontier(label_pdf, "label", np.int64)
+        blocks = [decode_block(row) for _, row in block_pdf.iterrows()]
+        for b in blocks:
+            _check_frontier(b, lv)
+        return min_partials(blocks, lb)
+
+    return (
+        blocks.groupby("partition_id")
+        .cogroup(labels.groupby("partition_id"))
+        .applyInPandas(step, "dst long, mlab long")
     )
 
 

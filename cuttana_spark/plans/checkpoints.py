@@ -72,3 +72,12 @@ class CheckpointCycler:
         while len(self._gens) > 1:
             self._release(self._gens.pop(0))
         return result
+
+    def close(self) -> None:
+        """Retire EVERY tracked generation, newest included. Only valid when
+        the caller's result no longer depends on any of them — e.g. it was
+        re-checkpointed through another cycler (components.py's contraction
+        pre-pass does this: the final result is eagerly checkpointed, then
+        the label-chain cycler is closed so residency stays O(V))."""
+        while self._gens:
+            self._release(self._gens.pop())

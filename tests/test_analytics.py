@@ -114,6 +114,73 @@ def test_connected_components_exact(spark):
     assert len(got) == G.number_of_nodes()
 
 
+def test_connected_components_accel_matches_star(spark):
+    """The CSR min-propagation contraction pre-pass (accel_rounds>0, forced
+    via accel_min_edges=0) must produce the IDENTICAL labelling as the pure
+    star loop on a graph that exercises every contraction case: long chains
+    (labels still converging when the pre-pass stops), hub blobs (collapse
+    to one label → vanish from the contracted graph), singleton-label
+    components, and a two-vertex component."""
+    import networkx as nx
+
+    G = nx.Graph()
+    rs = __import__("random").Random(7)
+    # three blobs + two long chains (length > accel rounds) + bridge + pair
+    for off in (0, 1000, 2000):
+        H = _ba_graph(n=50, m=2, seed=off + 3)
+        G.add_edges_from((u + off, v + off) for u, v in H.edges())
+    chain1 = [3000 + i for i in range(40)]
+    chain2 = [4000 + i for i in range(25)]
+    rs.shuffle(chain1)  # random ids along the chain: min is mid-chain
+    G.add_edges_from(zip(chain1, chain1[1:]))
+    G.add_edges_from(zip(chain2, chain2[1:]))
+    G.add_edge(chain1[-1], 17)  # bridge chain1 into blob 0
+    G.add_edges_from([(5000, 5001)])
+    rows = [(int(u), int(v)) for u, v in G.edges()]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    base = {r.vertex: r.component for r in connected_components(spark, df).collect()}
+    for rounds in (1, 3, 6):
+        acc = {
+            r.vertex: r.component
+            for r in connected_components(
+                spark, df, accel_rounds=rounds, accel_min_edges=0, accel_partitions=4
+            ).collect()
+        }
+        assert acc == base, f"accel_rounds={rounds} diverged from star loop"
+    for comp in nx.connected_components(G):
+        rep = min(comp)
+        for v in comp:
+            assert base[v] == rep
+
+
+def test_connected_components_accel_block_store(spark, tmp_path, monkeypatch):
+    """block_store mode: the contraction gathers run against the resident
+    mmap arena (gather_min_resident) instead of the cogroup — identical
+    labelling."""
+    import networkx as nx
+
+    monkeypatch.setenv("CUTTANA_BLOCK_ARENA", str(tmp_path / "arena"))
+    G = nx.Graph()
+    H = _ba_graph(n=80, m=2, seed=11)
+    G.add_edges_from(H.edges())
+    G.add_edges_from(zip(range(900, 930), range(901, 931)))  # chain
+    rows = [(int(u), int(v)) for u, v in G.edges()]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    base = {r.vertex: r.component for r in connected_components(spark, df).collect()}
+    acc = {
+        r.vertex: r.component
+        for r in connected_components(
+            spark,
+            df,
+            accel_rounds=3,
+            accel_min_edges=0,
+            accel_partitions=4,
+            block_store=str(tmp_path / "ccstore"),
+        ).collect()
+    }
+    assert acc == base
+
+
 def test_label_propagation_exact(spark, G, edges_df):
     got = {r.vertex: r.label for r in label_propagation(spark, edges_df, max_iter=4).collect()}
     adj = {v: sorted(G.neighbors(v)) for v in G.nodes()}
@@ -418,6 +485,26 @@ def test_cycler_spares_upstream_cache_filled_inside_checkpoint_job(spark):
     assert cache_ids <= pinned(), "upstream cache was unpersisted by the cycler"
     state.collect()
     base.unpersist(True)
+
+
+def test_cycler_close_releases_every_generation(spark):
+    """close() retires ALL tracked generations (used by the CC contraction
+    pre-pass after the result is re-checkpointed through another cycler)."""
+    from pyspark.sql import functions as F
+
+    from cuttana_spark.plans.checkpoints import CheckpointCycler
+
+    sc = spark.sparkContext
+    pinned = lambda: set(sc._jsc.getPersistentRDDs().keys())
+    before = pinned()
+    ck = CheckpointCycler(spark, keep_generations=1)
+    state = ck.checkpoint(spark.range(100).select(F.col("id").alias("v")))
+    state = ck.checkpoint(state.select((F.col("v") + 1).alias("v")))
+    tracked = set().union(*ck._gens)
+    assert tracked & pinned(), "expected live checkpoint generations"
+    ck.close()
+    assert not ck._gens
+    assert not (tracked & pinned()), "close() left checkpoint blocks pinned"
 
 
 def test_pagerank_csr_resident_bit_identical(spark, G, edges_df, tmp_path):
