@@ -31,6 +31,14 @@ node's arena holds only the partitions its tasks actually serve — the same
 working-set behavior as a JVM-cached edge RDD in GraphX, without shipping
 edges through Python and without one copy per Python worker.
 
+Measured (round 5): the resident engine is the fastest PageRank transport
+in the bench suite (9.17 s vs csr-cogroup 10.20 / df-join 11.01, 5
+supersteps) and the best-scaling one — N→4N (local[2]→local[8]) efficiency
+0.81-0.87 across 3 fresh-JVM profile reps with CPU-seconds inflating only
++7-13% at identical shuffle bytes (BENCH_PROFILE_RES{2,8}_r5.json;
+cogroup path: +34%), because the per-superstep working set is the O(V)
+frontier alone.
+
 The reference (Jacob-Chmura/cuttana, src/partitioner.rs) is the partitioner
 that PRODUCES the vertex→partition map; this store is how the analytics
 layer monetizes that map's locality at scale.
