@@ -150,6 +150,26 @@ sym AS MATERIALIZED (
 )"""
 
 
+def _multiset_equal_flag(a, b, cols: list, alias: str):
+    """1-row DataFrame [<alias>: long] = 1 iff ``a`` and ``b`` contain the
+    identical row MULTISET on ``cols``. Distributed: per-side groupBy counts,
+    full-outer-joined — any key whose two counts differ (or exists on one
+    side only) is a mismatch. Used by the round-6 merged variant queries
+    (cc/lpa/kcore/pagerank/ivf): the alternate engine path runs inside the
+    same graded query and its equality to the canonical path is a driver-
+    checked flag instead of a second 50-entry-budget-eating oracle row."""
+    ca = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("_na"))
+    cb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("_nb"))
+    mism = (
+        ca.join(cb, cols, "full_outer")
+        .filter(
+            ~(F.coalesce(F.col("_na"), F.lit(-1)) == F.coalesce(F.col("_nb"), F.lit(-2)))
+        )
+        .agg(F.count(F.lit(1)).alias("_bad"))
+    )
+    return mism.select((F.col("_bad") == 0).cast("long").alias(alias))
+
+
 def _cc_sql(rounds: int = 22) -> str:
     """Connected components at convergence: min-label propagation with
     pointer-jumping compression (lab <- lab[lab]) converges in O(log n)
@@ -172,7 +192,7 @@ c{r} AS MATERIALIZED (SELECT a.v, b.lab FROM t{r} a JOIN t{r} b ON b.v = a.lab)"
         "WITH "
         + "".join(parts)
         + f"""
-SELECT lab AS component, count(*) AS size
+SELECT lab AS component, count(*) AS size, CAST(1 AS BIGINT) AS accel_match
 FROM c{rounds} GROUP BY lab
 ORDER BY size DESC, component LIMIT 20
 """
@@ -200,7 +220,7 @@ l{r} AS MATERIALIZED (SELECT o.v, coalesce(b.lab, o.lab) AS lab
         "WITH "
         + "".join(parts)
         + f"""
-SELECT lab AS label, count(*) AS size
+SELECT lab AS label, count(*) AS size, CAST(1 AS BIGINT) AS csr_match
 FROM l{iters} GROUP BY lab ORDER BY size DESC, label
 """
     )
@@ -230,7 +250,7 @@ r{r} AS MATERIALIZED (SELECT t.dst AS vertex, 0.15 / (SELECT n FROM nn) + 0.85 *
         "WITH "
         + "".join(parts)
         + f"""
-SELECT vertex, score_e9 FROM (
+SELECT vertex, score_e9, CAST(1 AS BIGINT) AS resident_match FROM (
   SELECT vertex, CAST(round(score * 1e9) AS BIGINT) AS score_e9 FROM r{iters}
 ) ORDER BY score_e9 DESC, vertex LIMIT 50
 """
@@ -351,65 +371,59 @@ FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.
 
 
 def _q_cc_transcripts(spark, sf_dir):
-    """Connected components at convergence. Oracled: the small/large-star
-    fixpoint labels every vertex with the min vertex id of its component,
-    which the DuckDB oracle reproduces via unrolled min-label propagation
-    with pointer-jumping compression (_cc_sql)."""
+    """Connected components at convergence — BOTH engine paths in one graded
+    query (round 6, 56→50 consolidation): the small/large-star fixpoint is
+    the canonical result, and the CSR min-propagation CONTRACTION pre-pass
+    variant (accel_rounds=4 FORCED via accel_min_edges=0) runs alongside it;
+    ``accel_match`` asserts the two per-vertex labelings are identical, so a
+    contraction bug (wrong ball min, lost boundary edge, bad label→component
+    mapback) fails the driver hash exactly as a separate oracle row would.
+    The DuckDB oracle reproduces the labels via unrolled min-label
+    propagation with pointer-jumping compression (_cc_sql)."""
     from cuttana_spark.analytics.components import connected_components
     from cuttana_spark.operators import edges as E
 
     nodes, eids = E.transcript_edges(_transcripts(spark))
     cc = connected_components(spark, eids)
-    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("size")).orderBy(
+    cc_accel = connected_components(spark, eids, accel_rounds=4, accel_min_edges=0)
+    flag = _multiset_equal_flag(
+        cc, cc_accel, ["vertex", "component"], "accel_match"
+    )
+    top = cc.groupBy("component").agg(F.count(F.lit(1)).alias("size")).orderBy(
         F.desc("size"), "component"
     ).limit(20)
-
-
-def _q_cc_accel_transcripts(spark, sf_dir):
-    """Connected components with the CSR min-propagation CONTRACTION
-    pre-pass FORCED (accel_min_edges=0; at sf0.01 the auto threshold would
-    skip it). Same oracle as cc_transcripts — the hybrid must produce the
-    identical component labelling, so a contraction bug (wrong ball min,
-    lost boundary edge, bad label→component mapback) hash-mismatches."""
-    from cuttana_spark.analytics.components import connected_components
-    from cuttana_spark.operators import edges as E
-
-    nodes, eids = E.transcript_edges(_transcripts(spark))
-    cc = connected_components(spark, eids, accel_rounds=4, accel_min_edges=0)
-    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("size")).orderBy(
-        F.desc("size"), "component"
-    ).limit(20)
+    return top.crossJoin(F.broadcast(flag))
 
 
 def _q_lpa_events(spark, sf_dir):
-    """Synchronous LPA, 4 supersteps. Oracled: deterministic tie-break
-    (count DESC, label ASC) unrolled in SQL (_lpa_sql)."""
-    from cuttana_spark.analytics.labelprop import label_propagation
+    """Synchronous LPA, 4 supersteps — join-based AND CSR gather-scatter
+    paths in one graded query (round 6 consolidation). The CSR variant
+    (round 5: per-superstep shuffle = O(V) label frontier only; per-block
+    Arrow kernel pre-counts (dst, label) runs, argmax = one min-struct agg,
+    no window sort) runs over a hash partition map and ``csr_match`` asserts
+    its per-vertex labels equal the join path's — layout-independence is
+    driver-checked, not assumed. Oracled: deterministic tie-break (count
+    DESC, label ASC) unrolled in SQL (_lpa_sql)."""
+    from cuttana_spark.analytics.labelprop import (
+        label_propagation,
+        label_propagation_csr,
+    )
     from cuttana_spark.operators import edges as E
 
     nodes, eids = E.events_graph(_read(spark, sf_dir, "events"))
     lp = label_propagation(spark, eids, max_iter=4)
-    return lp.groupBy("label").agg(F.count(F.lit(1)).alias("size")).orderBy(F.desc("size"), "label")
-
-
-def _q_lpa_csr_events(spark, sf_dir):
-    """LPA on the CSR gather-scatter skeleton (round 5): per-superstep
-    shuffle is the O(V) label frontier only; per-block Arrow kernel
-    pre-counts (dst, label) runs and the argmax is one min-struct
-    aggregation (no window sort). Same oracle as lpa_events — the result is
-    partition-layout-independent by construction."""
-    from cuttana_spark.analytics.labelprop import label_propagation_csr
-    from cuttana_spark.operators import edges as E
-
-    nodes, eids = E.events_graph(_read(spark, sf_dir, "events"))
     vp = (
         eids.select(F.col("src").alias("vertex"))
         .unionAll(eids.select(F.col("dst").alias("vertex")))
         .distinct()
         .select("vertex", F.pmod(F.hash("vertex"), F.lit(8)).alias("partition_id"))
     )
-    lp = label_propagation_csr(spark, eids, vp, max_iter=4)
-    return lp.groupBy("label").agg(F.count(F.lit(1)).alias("size")).orderBy(F.desc("size"), "label")
+    lp_csr = label_propagation_csr(spark, eids, vp, max_iter=4)
+    flag = _multiset_equal_flag(lp, lp_csr, ["vertex", "label"], "csr_match")
+    agg = lp.groupBy("label").agg(F.count(F.lit(1)).alias("size")).orderBy(
+        F.desc("size"), "label"
+    )
+    return agg.crossJoin(F.broadcast(flag))
 
 
 def _q_partition_transcripts(spark, sf_dir):
@@ -439,23 +453,57 @@ def _q_partition_transcripts(spark, sf_dir):
     )
     balance_ok = int(res.balance <= 1.05 + 1e-9)
     cut_ok = int(res.edge_cut_ratio <= 0.20)
-    return spark.createDataFrame(
-        [(int(res.vertex_count), int(res.edge_count), complete, balance_ok, cut_ok)],
-        "n_vertices long, n_edges_directed long, complete long, "
-        "balance_ok long, cut_ok long",
+
+    # --- spill engine, same query (round 6, 56→50 consolidation): run the
+    # out-of-core path (parquet spool, bounded drain segments —
+    # max_buffer_size=8192 forces several mid-stream segments on this
+    # ~42k-vertex graph) AND the in-memory batched engine at the same
+    # config, and grade bit-identical assignments + the spill invariants as
+    # flags alongside the core engine's. The oracle recomputes n_vertices /
+    # n_edges_directed and the segment arithmetic (see _PARTITION_SQL note).
+    from cuttana_spark.partition import CuttanaConfig
+    from cuttana_spark.partition.batched import (
+        cuttana_partition_df_batched,
+        cuttana_partition_df_spill,
     )
 
-
-_PARTITION_SQL = f"""
-WITH e AS ({_transcript_edges_sql()}),
-verts AS (SELECT src_key AS v FROM e UNION SELECT dst_key FROM e)
-SELECT CAST(count(*) AS BIGINT) AS n_vertices,
-       CAST(2 * (SELECT count(*) FROM e) AS BIGINT) AS n_edges_directed,
-       CAST(1 AS BIGINT) AS complete,
-       CAST(1 AS BIGINT) AS balance_ok,
-       CAST(1 AS BIGINT) AS cut_ok
-FROM verts
-"""
+    adj_sorted = adj.repartitionByRange("src").sortWithinPartitions("src")
+    cfg = CuttanaConfig(max_buffer_size=8192)
+    mem = cuttana_partition_df_batched(adj_sorted, 16, config=cfg)
+    stats: dict = {}
+    spill = cuttana_partition_df_spill(adj_sorted, 16, config=cfg, stats=stats)
+    spill_identical = int(
+        mem.vertex_count == spill.vertex_count
+        and mem.cut_count == spill.cut_count
+        and (mem.vertices == spill.vertices).all()
+        and (mem.partitions == spill.partitions).all()
+    )
+    spill_complete = int(
+        len(spill.vertices) == spill.vertex_count
+        and int(spill.partition_sizes.sum()) == spill.vertex_count
+    )
+    # forced mid-stream drains run with doubled phase-1 slack; the
+    # post-refinement fix_balance bound is (1+slack)*1.12 (same bound the
+    # forced-drain test asserts) — measured 1.0500 here
+    spill_balance_ok = int(spill.balance <= 1.05 * 1.12)
+    return spark.createDataFrame(
+        [
+            (
+                int(res.vertex_count),
+                int(res.edge_count),
+                complete,
+                balance_ok,
+                cut_ok,
+                int(stats["n_segments"]),
+                spill_identical,
+                spill_complete,
+                spill_balance_ok,
+            )
+        ],
+        "n_vertices long, n_edges_directed long, complete long, "
+        "balance_ok long, cut_ok long, n_segments long, "
+        "spill_identical long, spill_complete long, spill_balance_ok long",
+    )
 
 
 # n_segments arithmetic: the spill engine cuts a drain segment before every
@@ -465,7 +513,7 @@ FROM verts
 # CuttanaConfig defaults (buffer_degree_threshold=100, max_buffer_size=8192)
 # and to duplicate-free adjacency rows (degree = row length =
 # distinct-neighbor count); change either and this oracle must follow.
-_PARTITION_SPILL_SQL = f"""
+_PARTITION_SQL = f"""
 WITH e AS ({_transcript_edges_sql()}),
 sym AS (
   SELECT src_key AS v FROM e
@@ -474,12 +522,16 @@ sym AS (
 ),
 deg AS (SELECT v, count(*) AS d FROM sym GROUP BY v)
 SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_vertices,
+       CAST(2 * (SELECT count(*) FROM e) AS BIGINT) AS n_edges_directed,
+       CAST(1 AS BIGINT) AS complete,
+       CAST(1 AS BIGINT) AS balance_ok,
+       CAST(1 AS BIGINT) AS cut_ok,
        CAST(CASE WHEN (SELECT count(*) FROM deg) = 0 THEN 0
                  ELSE greatest(1, ceil((SELECT count(*) FROM deg WHERE d < 100) / 8192.0))
             END AS BIGINT) AS n_segments,
-       CAST(1 AS BIGINT) AS identical_to_in_memory,
-       CAST(1 AS BIGINT) AS complete,
-       CAST(1 AS BIGINT) AS balance_ok
+       CAST(1 AS BIGINT) AS spill_identical,
+       CAST(1 AS BIGINT) AS spill_complete,
+       CAST(1 AS BIGINT) AS spill_balance_ok
 """
 
 
@@ -571,33 +623,17 @@ w{step} AS MATERIALIZED (
 
 
 def _q_pagerank_csr_transcripts(spark, sf_dir):
-    """CSR-block PageRank over Cuttana partitions. Oracled: the converged
-    scores are partition-independent, so 3 unrolled relational PR supersteps
-    (_pagerank_csr_sql) check the CSR gather-scatter end-to-end. Top-50 is
-    selected AFTER rounding to e9 so the cut is engine-identical."""
-    from cuttana_spark.analytics.pagerank import pagerank_csr
-    from cuttana_spark.operators import edges as E
-    from cuttana_spark.partition.batched import cuttana_partition_df_batched
-
-    nodes, eids = E.transcript_edges(_transcripts(spark))
-    adj = E.adjacency(eids)
-    res = cuttana_partition_df_batched(adj, 8)
-    vp = res.to_spark_df(spark).select("vertex", "partition_id")
-    sym = E.symmetrize(eids)
-    pr = pagerank_csr(spark, sym, vp, max_iter=3, tol=0.0)
-    return (
-        pr.select("vertex", F.round(F.col("score") * 1e9).cast("long").alias("score_e9"))
-        .orderBy(F.desc("score_e9"), "vertex")
-        .limit(50)
-    )
-
-
-def _q_pagerank_resident_transcripts(spark, sf_dir):
-    """CSR PageRank via the EXECUTOR-RESIDENT block store (blockstore.py):
-    only the O(V) frontier enters each superstep's plan; workers mmap the
-    decoded blocks from a node-shared tmpfs arena. Same shared kernel as
-    pagerank_csr_transcripts, same relational oracle — a transport bug
-    (stale arena, wrong pid routing, dropped chunk) would hash-mismatch."""
+    """CSR-block PageRank over Cuttana partitions — cogroup AND executor-
+    resident transports in one graded query (round 6 consolidation). The
+    resident run (blockstore.py: only the O(V) frontier enters each
+    superstep's plan; workers mmap decoded blocks from the node-shared
+    arena) shares the cogroup path's kernels, so its scores must be BIT-
+    identical; ``resident_match`` asserts per-vertex e9-rounded equality —
+    a transport bug (stale arena, wrong pid routing, dropped chunk) fails
+    the driver hash. Oracled: converged scores are partition-independent, so
+    3 unrolled relational PR supersteps (_pagerank_csr_sql) check the CSR
+    gather-scatter end-to-end. Top-50 is selected AFTER rounding to e9 so
+    the cut is engine-identical."""
     import shutil
     import tempfile
 
@@ -611,20 +647,24 @@ def _q_pagerank_resident_transcripts(spark, sf_dir):
     res = cuttana_partition_df_batched(adj, 8)
     vp = res.to_spark_df(spark).select("vertex", "partition_id")
     sym = E.symmetrize(eids)
+    pr = pagerank_csr(spark, sym, vp, max_iter=3, tol=0.0)
     store = tempfile.mkdtemp(prefix="cuttana-blockstore-")
-    pr = pagerank_csr(
+    pr_res = pagerank_csr(
         spark, sym, vp, max_iter=3, tol=0.0, block_store=store + "/blocks"
     )
-    # the final ranks are eagerly localCheckpointed inside pagerank_csr, so
-    # the returned plan no longer reads the store — reclaim the tempdir and
-    # the /dev/shm arena generations now rather than leaking tmpfs memory
+    # both results are eagerly localCheckpointed inside pagerank_csr, so the
+    # returned plans no longer read the store — reclaim the tempdir and the
+    # /dev/shm arena generations now rather than leaking tmpfs memory
     drop_block_store(store + "/blocks")
     shutil.rmtree(store, ignore_errors=True)
-    return (
-        pr.select("vertex", F.round(F.col("score") * 1e9).cast("long").alias("score_e9"))
-        .orderBy(F.desc("score_e9"), "vertex")
-        .limit(50)
+    e9 = lambda df: df.select(
+        "vertex", F.round(F.col("score") * 1e9).cast("long").alias("score_e9")
     )
+    flag = _multiset_equal_flag(
+        e9(pr), e9(pr_res), ["vertex", "score_e9"], "resident_match"
+    )
+    top = e9(pr).orderBy(F.desc("score_e9"), "vertex").limit(50)
+    return top.crossJoin(F.broadcast(flag))
 
 
 
@@ -1142,12 +1182,18 @@ def _q_ivf_ann(spark, sf_dir):
     flags computed IN-PLAN against the exact JVM brute-force referee:
       rows_ok      — exactly k results per query (probed cells held >= k
                      candidates for every query);
-      recall_ge_50 — recall@5 of the 3-of-8-cell probe vs exact >= 0.50.
+      recall_ge_50 — recall@5 of the 3-of-8-cell probe vs exact >= 0.50;
+      full_exact   — (round 6 consolidation, was `ivf_ann_full`) IVF with
+                     nprobe = n_cells probes every cell, so its
+                     (query_id, rank, match_id, cosine_e9) rows must EQUAL
+                     exact brute-force top-k — a full check of the IVF
+                     machinery (k-means quantizer, cell assignment, probe
+                     explode, within-cell re-rank) against the referee that
+                     `ann_topk` hash-oracles against SQL.
     Measured recall on the sf0.01 near-random embeddings is ~0.68 (indexes
     cannot beat that plateau on uniform vectors — BENCH.md); a broken
     quantizer or probe path collapses recall to ~k/|corpus| ≈ 0.01, so the
-    0.50 floor is a structural gate, not a tuned constant. The exhaustive
-    equality check (nprobe = n_cells == brute force) is `ivf_ann_full`."""
+    0.50 floor is a structural gate, not a tuned constant."""
     from cuttana_spark.operators.ivf import ivf_topk
     from cuttana_spark.operators.similarity import brute_force_topk
 
@@ -1162,13 +1208,25 @@ def _q_ivf_ann(spark, sf_dir):
         F.countDistinct("query_id").alias("nq"), F.count(F.lit(1)).alias("n_rows")
     )
     ex = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    e9 = lambda df: df.select(
+        "query_id",
+        "rank",
+        "match_id",
+        F.round(F.col("cosine") * 1e9).cast("long").alias("cosine_e9"),
+    )
+    full = ivf_topk(q, emb, n_cells=8, nprobe=8, k=5)
+    full_flag = _multiset_equal_flag(
+        e9(full), e9(exact), ["query_id", "rank", "match_id", "cosine_e9"], "full_exact"
+    )
     return (
         stats.crossJoin(ex)
         .crossJoin(hits)
+        .crossJoin(F.broadcast(full_flag))
         .select(
             F.col("nq").cast("long").alias("n_queries"),
             (F.col("n_rows") == F.col("nq") * 5).cast("long").alias("rows_ok"),
             (F.col("hits") / F.col("n_exact") >= 0.5).cast("long").alias("recall_ge_50"),
+            F.col("full_exact"),
         )
     )
 
@@ -1176,26 +1234,10 @@ def _q_ivf_ann(spark, sf_dir):
 _IVF_ANN_SQL = f"""
 SELECT CAST(count(*) AS BIGINT) AS n_queries,
        CAST(1 AS BIGINT) AS rows_ok,
-       CAST(1 AS BIGINT) AS recall_ge_50
+       CAST(1 AS BIGINT) AS recall_ge_50,
+       CAST(1 AS BIGINT) AS full_exact
 FROM embeddings WHERE {_EMB_SUBSET}
 """
-
-
-def _q_ivf_ann_full(spark, sf_dir):
-    """IVF with nprobe = n_cells probes every cell, so the result must equal
-    exact brute-force top-k — a full oracle over the IVF machinery (k-means
-    quantizer, cell assignment, probe explode, within-cell re-rank)."""
-    from cuttana_spark.operators.ivf import ivf_topk
-
-    emb = _read(spark, sf_dir, "embeddings")
-    q = emb.filter(_EMB_SUBSET)
-    top = ivf_topk(q, emb, n_cells=8, nprobe=8, k=5)
-    return top.select(
-        "query_id",
-        "rank",
-        "match_id",
-        F.round(F.col("cosine") * 1e9).cast("long").alias("cosine_e9"),
-    )
 
 
 def _q_multimodal_features(spark, sf_dir):
@@ -1229,10 +1271,14 @@ def _q_stream_sessions(spark, sf_dir):
     """Second Structured Streaming driver row: the stateful sessionizer
     (applyInPandasWithState, streaming/sessions.py) consumes events via
     availableNow and emits CLOSED sessions (gap > 1800 s); each user's final
-    — still open — session stays in state by design. The oracle is the batch
-    sessionization minus the last session per user; session_start is
-    compared as exact integer microseconds (round(start·1e6) vs DuckDB's
-    epoch_us — both are exact because source timestamps are µs-precision)."""
+    — still open — session stays in state by design. Round 6: the oracle now
+    asserts the EMISSION FRONTIER the way stream_window_counts does — each
+    emitted session carries its end (the stream must know the true per-
+    session high-water mark), and the oracle recomputes the open-tail
+    cutoff from max(ts): closed ⟺ session_end_us < the user's epoch_us(
+    max(ts)) (the open session is exactly the one containing the user's
+    final event). Timestamps are compared as exact integer microseconds
+    (round(·1e6) vs DuckDB's epoch_us — both exact, µs-precision source)."""
     import os
     import tempfile
 
@@ -1249,11 +1295,17 @@ def _q_stream_sessions(spark, sf_dir):
     return raw.select(
         "user_id",
         F.round(F.col("session_start") * F.lit(1e6)).cast("long").alias("session_start_us"),
+        F.round(F.col("session_end") * F.lit(1e6)).cast("long").alias("session_end_us"),
         "n_events",
         "sum_value_e6",
     )
 
 
+# emission-frontier form (round 6): a session is CLOSED — and therefore
+# emitted in append mode — iff it ends strictly before the user's max(ts)
+# high-water mark (the open session is the one containing the final event).
+# This is the sessions analogue of the window oracle's
+# `window_end <= max(ts) - watermark` cutoff, and it grades session_end too.
 _STREAM_SESSIONS_SQL = """
 WITH g AS (
   SELECT user_id, ts, event_id, value,
@@ -1268,15 +1320,17 @@ WITH g AS (
   FROM g
 ), agg AS (
   SELECT user_id, seg, epoch_us(min(ts)) AS session_start_us,
+         epoch_us(max(ts)) AS session_end_us,
          count(*) AS n_events,
          CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_e6
   FROM s GROUP BY 1, 2
-), last AS (
-  SELECT user_id, max(seg) AS last_seg FROM agg GROUP BY 1
+), hwm AS (
+  SELECT user_id, epoch_us(max(ts)) AS mx_us FROM events GROUP BY 1
 )
 SELECT a.user_id, CAST(a.session_start_us AS BIGINT) AS session_start_us,
+       CAST(a.session_end_us AS BIGINT) AS session_end_us,
        CAST(a.n_events AS BIGINT) AS n_events, a.sum_value_e6
-FROM agg a JOIN last l ON a.user_id = l.user_id AND a.seg < l.last_seg
+FROM agg a JOIN hwm h ON a.user_id = h.user_id AND a.session_end_us < h.mx_us
 """
 
 
@@ -1809,57 +1863,6 @@ def _q_asof_bucketed(spark, sf_dir):
     )
 
 
-def _q_partition_spill_transcripts(spark, sf_dir):
-    """Out-of-core partition path, driver-verified: run the SPILL engine
-    (parquet spool, bounded drain segments — max_buffer_size=8192 forces
-    several mid-stream segments on this ~42k-vertex graph) AND the in-memory
-    batched engine at the same config, assert bit-identical assignments plus
-    the partition invariants. The oracle recomputes n_vertices and the
-    segment arithmetic; identical/complete/balance_ok are contract flags."""
-    import math
-
-    from cuttana_spark.operators import edges as E
-    from cuttana_spark.partition import CuttanaConfig
-    from cuttana_spark.partition.batched import (
-        cuttana_partition_df_batched,
-        cuttana_partition_df_spill,
-    )
-
-    nodes, eids = E.transcript_edges(_transcripts(spark))
-    adj = E.adjacency(eids).repartitionByRange("src").sortWithinPartitions("src")
-    cfg = CuttanaConfig(max_buffer_size=8192)
-    mem = cuttana_partition_df_batched(adj, 16, config=cfg)
-    stats: dict = {}
-    spill = cuttana_partition_df_spill(adj, 16, config=cfg, stats=stats)
-    identical = int(
-        mem.vertex_count == spill.vertex_count
-        and mem.cut_count == spill.cut_count
-        and (mem.vertices == spill.vertices).all()
-        and (mem.partitions == spill.partitions).all()
-    )
-    complete = int(
-        len(spill.vertices) == spill.vertex_count
-        and int(spill.partition_sizes.sum()) == spill.vertex_count
-    )
-    # forced mid-stream drains run with doubled phase-1 slack; the
-    # post-refinement fix_balance bound is (1+slack)*1.12 (same bound the
-    # forced-drain test asserts) — measured 1.0500 here
-    balance_ok = int(spill.balance <= 1.05 * 1.12)
-    return spark.createDataFrame(
-        [
-            (
-                int(spill.vertex_count),
-                int(stats["n_segments"]),
-                identical,
-                complete,
-                balance_ok,
-            )
-        ],
-        "n_vertices long, n_segments long, identical_to_in_memory long, "
-        "complete long, balance_ok long",
-    )
-
-
 _ASOF_SQL = """
 WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'),
 r AS (
@@ -2014,32 +2017,27 @@ FROM m
 
 
 def _q_kcore2_transcripts(spark, sf_dir):
-    """2-core of the transcripts graph (iterative peeling to fixpoint).
-    Oracled: peeling converges in 18 rounds on this fixture; the DuckDB
-    oracle unrolls 22 materialized rounds of the identical recurrence."""
-    from cuttana_spark.analytics.kcore import k_core
-    from cuttana_spark.operators import edges as E
-
-    nodes, eids = E.transcript_edges(_transcripts(spark))
-    return k_core(spark, eids, k=2)
-
-
-def _q_kcore2_csr_transcripts(spark, sf_dir):
-    """2-core via the CSR gather-scatter skeleton (round 5): the alive set
-    rides the frontier as a {0,1} score and the per-round alive-neighbor
-    count is the gathered sum over p=1.0 blocks, so each peel round shuffles
-    only the O(V) frontier — the join-based k_core re-exchanges the O(E)
-    sym edge set twice per round. Same oracle as kcore2_transcripts: the
-    result must be partition-layout-independent."""
-    from cuttana_spark.analytics.kcore import k_core_csr
+    """2-core of the transcripts graph (iterative peeling to fixpoint) —
+    join-based AND CSR gather-scatter paths in one graded query (round 6
+    consolidation). The CSR variant (round 5: the alive set rides the
+    frontier as a {0,1} score; per-round alive-neighbor count = gathered sum
+    over p=1.0 blocks — O(V) frontier shuffle/round where the join path
+    re-exchanges the O(E) sym edge set twice) runs over Cuttana partitions
+    and ``csr_match`` asserts the identical surviving vertex set. Oracled:
+    peeling converges in 18 rounds on this fixture; the DuckDB oracle
+    unrolls 22 materialized rounds of the identical recurrence."""
+    from cuttana_spark.analytics.kcore import k_core, k_core_csr
     from cuttana_spark.operators import edges as E
     from cuttana_spark.partition.batched import cuttana_partition_df_batched
 
     nodes, eids = E.transcript_edges(_transcripts(spark))
+    kc = k_core(spark, eids, k=2)
     adj = E.adjacency(eids)
     res = cuttana_partition_df_batched(adj, 8)
     vp = res.to_spark_df(spark).select("vertex", "partition_id")
-    return k_core_csr(spark, eids, vp, k=2)
+    kc_csr = k_core_csr(spark, eids, vp, k=2)
+    flag = _multiset_equal_flag(kc, kc_csr, ["vertex"], "csr_match")
+    return kc.crossJoin(F.broadcast(flag))
 
 
 def _kcore_sql(k: int = 2, rounds: int = 22) -> str:
@@ -2056,7 +2054,11 @@ d{r} AS MATERIALIZED (
 ),
 a{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE d >= {k})"""
         )
-    return "WITH " + "".join(parts) + f"\nSELECT v AS vertex FROM a{rounds}\n"
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT v AS vertex, CAST(1 AS BIGINT) AS csr_match FROM a{rounds}\n"
+    )
 
 
 def _q_rollup_events(spark, sf_dir):
@@ -2100,67 +2102,71 @@ ORDER BY event_type, day
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Round 6: exactly 50 entries (the round-5 driver graded only the first
+    # 50 of 56). Variant pairs are CONSOLIDATED, not dropped — each merged
+    # query runs both engine paths and grades their equality as a flag
+    # column (cc accel, lpa csr, kcore csr, pagerank resident, partition
+    # spill, ivf full-probe). Families are also interleaved so no operator
+    # family is confined to the tail if a future driver grades fewer rows.
     return {
-        # link graph
-        "edges_from_events": _q_edges_from_events,
-        "stream_edges_events": _q_stream_edges_events,
-        "stream_sessions": _q_stream_sessions,
-        "stream_window_counts": _q_stream_window_counts,
+        # link graph core
         "edges_from_transcripts": _q_edges_from_transcripts,
+        "edges_from_events": _q_edges_from_events,
         "degree_topk": _q_degree_topk,
-        "pagerank5_events": _q_pagerank5_events,
-        "ppr_events": _q_ppr_events,
-        "walks_transcripts": _q_walks_transcripts,
-        "triangles_transcripts": _q_triangles_transcripts,
-        "cc_transcripts": _q_cc_transcripts,
-        "cc_accel_transcripts": _q_cc_accel_transcripts,
-        "lpa_events": _q_lpa_events,
-        "lpa_csr_events": _q_lpa_csr_events,
         "partition_transcripts": _q_partition_transcripts,
-        "partition_spill_transcripts": _q_partition_spill_transcripts,
+        "pagerank5_events": _q_pagerank5_events,
         "pagerank_csr_transcripts": _q_pagerank_csr_transcripts,
-        "pagerank_resident_transcripts": _q_pagerank_resident_transcripts,
-        # relational conformance
-        "pricing_summary": _q_pricing_summary,
-        "top_revenue_orders": _q_top_revenue_orders,
-        "region_revenue": _q_region_revenue,
-        "sessionize": _q_sessionize,
-        "type_user_stats": _q_type_user_stats,
-        # training-data ops
-        "dedup_exact": _q_dedup_exact,
-        "fingerprints": _q_fingerprints,
-        "token_counts": _q_token_counts,
-        "quality": _q_quality,
-        "lang_pred": _q_lang_pred,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_sigs": _q_minhash_sigs,
-        "simhash": _q_simhash,
-        "ann_topk": _q_ann_topk,
-        "embedding_near_dups": _q_embedding_near_dups,
-        "lsh_ann": _q_lsh_ann,
-        "ivf_ann": _q_ivf_ann,
-        "ivf_ann_full": _q_ivf_ann_full,
-        "multimodal_features": _q_multimodal_features,
-        "multimodal_decoded": _q_multimodal_decoded,
-        # composed pipeline + extra relational conformance
-        "corpus_select": _q_corpus_select,
-        "set_ops": _q_set_ops,
-        "having_subquery": _q_having_subquery,
-        "conditional_pivot": _q_conditional_pivot,
-        "degree_histogram": _q_degree_histogram,
-        "simhash_near_dups": _q_simhash_near_dups,
-        "dedup_clusters": _q_dedup_clusters,
-        "rollup_events": _q_rollup_events,
-        "gopher_repetition": _q_gopher_repetition,
+        "cc_transcripts": _q_cc_transcripts,
+        "lpa_events": _q_lpa_events,
         "kcore2_transcripts": _q_kcore2_transcripts,
-        "kcore2_csr_transcripts": _q_kcore2_csr_transcripts,
-        "supplier_part_revenue": _q_supplier_part_revenue,
+        "triangles_transcripts": _q_triangles_transcripts,
+        # tail-risk family reps pulled forward (round-5 ungraded set)
         "pii_scrub": _q_pii_scrub,
         "decontaminate": _q_decontaminate,
         "asof_purchases": _q_asof_purchases,
         "asof_bucketed": _q_asof_bucketed,
         "window_funcs": _q_window_funcs,
         "sketch_check": _q_sketch_check,
+        # streaming
+        "stream_edges_events": _q_stream_edges_events,
+        "stream_sessions": _q_stream_sessions,
+        "stream_window_counts": _q_stream_window_counts,
+        # graph analytics, remainder
+        "ppr_events": _q_ppr_events,
+        "walks_transcripts": _q_walks_transcripts,
+        "degree_histogram": _q_degree_histogram,
+        # relational conformance
+        "pricing_summary": _q_pricing_summary,
+        "top_revenue_orders": _q_top_revenue_orders,
+        "region_revenue": _q_region_revenue,
+        "sessionize": _q_sessionize,
+        "type_user_stats": _q_type_user_stats,
+        "corpus_select": _q_corpus_select,
+        "set_ops": _q_set_ops,
+        "having_subquery": _q_having_subquery,
+        "conditional_pivot": _q_conditional_pivot,
+        "rollup_events": _q_rollup_events,
+        "supplier_part_revenue": _q_supplier_part_revenue,
+        # training-data ops: dedup + text
+        "dedup_exact": _q_dedup_exact,
+        "fingerprints": _q_fingerprints,
+        "token_counts": _q_token_counts,
+        "quality": _q_quality,
+        "lang_pred": _q_lang_pred,
+        "gopher_repetition": _q_gopher_repetition,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_sigs": _q_minhash_sigs,
+        "simhash": _q_simhash,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "dedup_clusters": _q_dedup_clusters,
+        # similarity / ANN
+        "ann_topk": _q_ann_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "lsh_ann": _q_lsh_ann,
+        "ivf_ann": _q_ivf_ann,
+        # multimodal
+        "multimodal_features": _q_multimodal_features,
+        "multimodal_decoded": _q_multimodal_decoded,
     }
 
 
@@ -2178,11 +2184,8 @@ def oracle_sql() -> dict[str, str]:
         "walks_transcripts": _walks_sql(),
         "triangles_transcripts": _TRIANGLES_SQL,
         "cc_transcripts": _cc_sql(),
-        "cc_accel_transcripts": _cc_sql(),
         "lpa_events": _lpa_sql(),
-        "lpa_csr_events": _lpa_sql(),
         "pagerank_csr_transcripts": _pagerank_csr_sql(),
-        "pagerank_resident_transcripts": _pagerank_csr_sql(),
         "pricing_summary": _PRICING_SQL,
         "top_revenue_orders": _TOP_REVENUE_SQL,
         "region_revenue": _REGION_REVENUE_SQL,
@@ -2199,7 +2202,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ANN_SQL,
         "embedding_near_dups": _near_dup_sql(),
         "lsh_ann": _lsh_ann_sql(),
-        "ivf_ann_full": _ANN_SQL,
         "corpus_select": _CORPUS_SELECT_SQL,
         "set_ops": _SET_OPS_SQL,
         "having_subquery": _HAVING_SQL,
@@ -2209,7 +2211,6 @@ def oracle_sql() -> dict[str, str]:
         "rollup_events": _ROLLUP_SQL,
         "gopher_repetition": _GOPHER_SQL,
         "kcore2_transcripts": _kcore_sql(),
-        "kcore2_csr_transcripts": _kcore_sql(),
         "supplier_part_revenue": _SUPPLIER_PART_SQL,
         "pii_scrub": _pii_scrub_sql(),
         "decontaminate": _decontaminate_sql(),
@@ -2219,7 +2220,6 @@ def oracle_sql() -> dict[str, str]:
         "sketch_check": _SKETCH_SQL,
         "degree_histogram": _DEGREE_HIST_SQL_TMPL.format(edges=_transcript_edges_sql()),
         "partition_transcripts": _PARTITION_SQL,
-        "partition_spill_transcripts": _PARTITION_SPILL_SQL,
         "ivf_ann": _IVF_ANN_SQL,
         # real codecs stay env-blocked, but the fake-codec feature (byte
         # nibble histogram) is a pure function of the payload bytes, which

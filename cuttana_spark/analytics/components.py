@@ -213,6 +213,14 @@ def connected_components(
             )
             .distinct()
         )
+        # Snapshot persistent-RDD ids around the recursive tail call: the
+        # inner star loop's ck.finish() leaves ITS final star forest (and
+        # its own nodes cache) pinned — correct while `out` is lazy, a leak
+        # once `out` is eagerly re-checkpointed below. Everything persisted
+        # by the tail that this cycler does not track is released after the
+        # checkpoint (the exact leak class CheckpointCycler exists to stop).
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        before_ids = set(jmap.keys())
         tail = connected_components(
             spark,
             contracted,
@@ -233,9 +241,13 @@ def connected_components(
         )
         # eagerly materialize the O(V) result, then release everything it
         # was built from — the original O(E) edge checkpoint, the label
-        # chain, and the nodes cache. Residency at return is O(V), matching
-        # the star-loop path (which pins its final star forest).
+        # chain, the nodes cache, AND the tail call's pinned internals.
+        # Residency at return is O(V), matching the star-loop path.
         out = ck.checkpoint(out)
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        tracked = set().union(*ck._gens) if ck._gens else set()
+        for rid in set(jmap.keys()) - before_ids - tracked:
+            jmap[rid].unpersist(True)
         lck.close()
         nodes.unpersist(False)
         return ck.finish(out)

@@ -22,8 +22,12 @@ scores are BIT-IDENTICAL to the unpacked formulation.
 
 The frontier contract this bakes in: every superstep must present exactly
 the packed partition's vertex set (sorted by vertex, any arrival order).
-Each chunk carries (n_verts, v_min, v_max) and the kernel raises on
-mismatch rather than risk a silently wrong positional lookup.
+Each chunk carries (n_verts, v_min, v_max, v_digest) — v_digest is a
+crc32 of the sorted vertex array's bytes, computed at pack time — and the
+kernel recomputes the frontier's digest and raises on any mismatch rather
+than risk a silently wrong positional lookup. (Count/min/max alone would
+admit a frontier with the same envelope but a different interior set,
+e.g. packed {0,1,3} vs frontier {0,2,3}; the digest closes that hole.)
 
 scatter_gather: one PageRank-style superstep. Frontier scores (vertex,
 score, partition_id) are hash-cogrouped with the cached blocks on
@@ -35,6 +39,8 @@ groupBy(dst) receives ≤ #blocks rows per hub, never one per edge.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -42,8 +48,12 @@ from pyspark.sql import functions as F
 
 CHUNK_EDGES = 2_000_000
 
+# bump when the chunk layout changes — blockstore's fingerprint includes it,
+# so stores packed by an older layout are repacked, never misread
+PACK_VERSION = 2
+
 BLOCK_SCHEMA = (
-    "partition_id int, n_verts long, v_min long, v_max long, "
+    "partition_id int, n_verts long, v_min long, v_max long, v_digest long, "
     "src_idx binary, ud binary, inv binary, ps binary"
 )
 
@@ -77,6 +87,7 @@ def pack_blocks(
                 "n_verts": pd.Series(dtype="int64"),
                 "v_min": pd.Series(dtype="int64"),
                 "v_max": pd.Series(dtype="int64"),
+                "v_digest": pd.Series(dtype="int64"),
                 "src_idx": pd.Series(dtype=object),
                 "ud": pd.Series(dtype=object),
                 "inv": pd.Series(dtype=object),
@@ -102,6 +113,7 @@ def pack_blocks(
                 "full vertex set"
             )
         pos = pos.astype(np.int32)
+        dg = _vertex_digest(verts)
         rows = []
         for lo in range(0, srcs.shape[0], CHUNK_EDGES):
             hi = lo + CHUNK_EDGES
@@ -112,6 +124,7 @@ def pack_blocks(
                     "n_verts": verts.shape[0],
                     "v_min": int(verts[0]),
                     "v_max": int(verts[-1]),
+                    "v_digest": dg,
                     "src_idx": pos[lo:hi].tobytes(),
                     "ud": ud.tobytes(),
                     "inv": inv.astype(np.int32).tobytes(),
@@ -136,6 +149,16 @@ def pack_blocks(
     )
 
 
+def _vertex_digest(sorted_verts: np.ndarray) -> int:
+    """crc32 of the sorted int64 vertex array's bytes — a process-stable,
+    O(V) digest that distinguishes interior set differences (count/min/max
+    alone cannot). Computed once per partition at pack time and once per
+    cogroup call at superstep time; both sides see the identical sorted
+    layout, so equal sets ⟺ equal digests (and unequal sets collide with
+    crc32's ~2^-32 probability — a guard, not a security boundary)."""
+    return int(zlib.crc32(np.ascontiguousarray(sorted_verts, np.int64).tobytes()))
+
+
 def _sorted_frontier(pdf: pd.DataFrame, value_col: str, dtype) -> tuple:
     sv = pdf["vertex"].to_numpy(np.int64)
     vals = pdf[value_col].to_numpy(dtype)
@@ -143,17 +166,21 @@ def _sorted_frontier(pdf: pd.DataFrame, value_col: str, dtype) -> tuple:
     return sv[order], vals[order]
 
 
-def _check_frontier(row, sv: np.ndarray) -> None:
+def _check_frontier(row, sv: np.ndarray, sv_digest: int | None = None) -> None:
+    if sv_digest is None:
+        sv_digest = _vertex_digest(sv)
     if (
         row["n_verts"] != sv.shape[0]
         or row["v_min"] != sv[0]
         or row["v_max"] != sv[-1]
+        or row["v_digest"] != sv_digest
     ):
         raise ValueError(
             "frontier vertex set does not match the packed blocks "
             f"(expected {row['n_verts']} verts in [{row['v_min']}, "
-            f"{row['v_max']}], got {sv.shape[0]} in [{sv[0]}, {sv[-1]}]) — "
-            "every superstep must present the full partition vertex set"
+            f"{row['v_max']}] digest {row['v_digest']}, got {sv.shape[0]} in "
+            f"[{sv[0]}, {sv[-1]}] digest {sv_digest}) — every superstep must "
+            "present exactly the full partition vertex set"
         )
 
 
@@ -165,6 +192,7 @@ def decode_block(row) -> dict:
         "n_verts": int(row["n_verts"]),
         "v_min": int(row["v_min"]),
         "v_max": int(row["v_max"]),
+        "v_digest": int(row["v_digest"]),
         "src_idx": np.frombuffer(row["src_idx"], np.int32),
         "ud": np.frombuffer(row["ud"], np.int64),
         "inv": np.frombuffer(row["inv"], np.int32),
@@ -263,9 +291,10 @@ def gather_min(spark, blocks: DataFrame, labels: DataFrame) -> DataFrame:
         if block_pdf.empty or label_pdf.empty:
             return empty
         lv, lb = _sorted_frontier(label_pdf, "label", np.int64)
+        dg = _vertex_digest(lv)
         blocks = [decode_block(row) for _, row in block_pdf.iterrows()]
         for b in blocks:
-            _check_frontier(b, lv)
+            _check_frontier(b, lv, dg)
         return min_partials(blocks, lb)
 
     return (
@@ -297,9 +326,10 @@ def gather_label_counts(spark, blocks: DataFrame, labels: DataFrame) -> DataFram
         if block_pdf.empty or label_pdf.empty:
             return empty
         lv, lb = _sorted_frontier(label_pdf, "label", np.int64)
+        dg = _vertex_digest(lv)
         blocks = [decode_block(row) for _, row in block_pdf.iterrows()]
         for b in blocks:
-            _check_frontier(b, lv)
+            _check_frontier(b, lv, dg)
         return lpa_partials(blocks, lb)
 
     return (
@@ -320,9 +350,10 @@ def scatter_gather(spark, blocks: DataFrame, scores: DataFrame) -> DataFrame:
         if block_pdf.empty or score_pdf.empty:
             return pd.DataFrame(_EMPTY_CONTRIB)
         sv, ss = _sorted_frontier(score_pdf, "score", np.float64)
+        dg = _vertex_digest(sv)
         blocks = [decode_block(row) for _, row in block_pdf.iterrows()]
         for b in blocks:
-            _check_frontier(b, sv)
+            _check_frontier(b, sv, dg)
         return pr_partials(blocks, ss)
 
     partials = (

@@ -117,12 +117,23 @@ def k_core_csr(
 
 def k_core(spark: SparkSession, edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
     """edges: undirected canonical (src, dst[, weight]) → DataFrame[vertex]
-    containing exactly the k-core vertices (empty if none)."""
+    containing exactly the k-core vertices (empty if none).
+
+    Self-loops are dropped (src != dst) exactly as in k_core_csr, so the two
+    entry points are interchangeable on ANY input: the k-core is defined on
+    the simple graph, and a self-loop never contributes to the degree that
+    peeling counts. (Isolated self-loop-only vertices therefore peel out at
+    k >= 1, matching networkx's core_number on the graph minus self-loops.)"""
     from cuttana_spark.plans.checkpoints import CheckpointCycler
 
-    sym = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    sym = (
+        edges.select("src", "dst")
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .cache()
+    )
     ck = CheckpointCycler(spark)
     alive = ck.checkpoint(sym.select(F.col("src").alias("vertex")).distinct())
     n_prev = alive.count()

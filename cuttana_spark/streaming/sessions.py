@@ -2,9 +2,12 @@
 
 Custom stateful operator (applyInPandasWithState keyed by user_id): a
 session closes when the gap to the next event exceeds `gap_sec`. Closed
-sessions are emitted as they close (append mode); the running open session
-lives in state — (last_ts, session_start, n_events, sum_value_e6) — so a
-session spanning micro-batches is aggregated exactly once.
+sessions are emitted as they close (append mode) with their (start, end)
+bounds — `session_end` is the per-session high-water mark, which lets the
+driver oracle recompute the append-mode emission frontier from max(ts)
+(closed ⟺ end < the user's final-event ts). The running open session lives
+in state — (last_ts, session_start, n_events, sum_value_e6) — so a session
+spanning micro-batches is aggregated exactly once.
 
 Vectorized inside the operator: gaps via shifted numpy timestamp arrays,
 session boundaries via cumsum over the gap mask — no per-row Python.
@@ -33,7 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = (
-    "user_id long, session_start double, n_events long, sum_value_e6 long"
+    "user_id long, session_start double, session_end double, "
+    "n_events long, sum_value_e6 long"
 )
 STATE_SCHEMA = "last_ts double, session_start double, n_events long, sum_value_e6 long"
 GAP_SEC = 1800.0
@@ -65,6 +69,11 @@ def _sessions(
     seg = np.cumsum(new_sess)
     n_segs = int(seg[-1])
     starts = ts[new_sess]
+    # session END at each boundary = the high-water mark BEFORE the boundary
+    # row (running max, not just the previous row's ts: a fully-late row
+    # folded into the open session must not understate its end — the stored
+    # last_ts at position 0 dominates any folded late rows)
+    ends = np.maximum.accumulate(prev)[new_sess]
 
     # per-segment aggregates in two bincounts (values < 2^53 stay exact as
     # float64 weights)
@@ -80,7 +89,8 @@ def _sessions(
         open_sess = None
     for s in range(1, n_segs + 1):  # loop is per SESSION, not per row
         if open_sess is not None:
-            closed_rows.append((uid, *open_sess))
+            # the session closing at boundary s ends at ends[s-1]
+            closed_rows.append((uid, open_sess[0], float(ends[s - 1]), open_sess[1], open_sess[2]))
         open_sess = (float(starts[s - 1]), int(n_per[s]), int(sum_per[s]))
 
     # Clamp last_ts FORWARD only (like edge_stream._transitions): if the whole
@@ -90,7 +100,8 @@ def _sessions(
     new_last = float(ts[-1]) if last_ts is None else float(max(ts[-1], float(last_ts)))
     state.update((new_last, open_sess[0], int(open_sess[1]), int(open_sess[2])))
     yield pd.DataFrame(
-        closed_rows, columns=["user_id", "session_start", "n_events", "sum_value_e6"]
+        closed_rows,
+        columns=["user_id", "session_start", "session_end", "n_events", "sum_value_e6"],
     )
 
 

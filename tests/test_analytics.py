@@ -658,3 +658,163 @@ def test_resident_superstep_plan_has_no_block_scan(spark, tmp_path):
     assert plan.count("Exchange") <= 2
     got = {r.dst: r.contrib for r in out.collect()}
     assert got == {1: pytest.approx(0.3 * 0.5), 2: pytest.approx(0.3), 0: pytest.approx(0.4)}
+
+
+def test_csr_frontier_interior_mismatch_guard(spark):
+    """Round-6 ADVICE: a frontier with the same count/min/max as the packed
+    partition but a DIFFERENT interior vertex set (packed {0,1,3} vs
+    frontier {0,2,3}) must be caught by the v_digest check, never silently
+    misattribute scores through the positional gather."""
+    import pytest as _pytest
+
+    from cuttana_spark.analytics.csr import pack_blocks, scatter_gather
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 3, 1.0), (3, 0, 1.0)], "src long, dst long, p double"
+    )
+    vp = spark.createDataFrame(
+        [(0, 0), (1, 0), (3, 0)], "vertex long, partition_id int"
+    )
+    blocks = pack_blocks(edges, vp).cache()
+    bad = spark.createDataFrame(  # same n/min/max envelope, wrong interior
+        [(0, 1.0, 0), (2, 1.0, 0), (3, 1.0, 0)],
+        "vertex long, score double, partition_id int",
+    )
+    with _pytest.raises(Exception, match="frontier vertex set"):
+        scatter_gather(spark, blocks, bad).collect()
+    blocks.unpersist(False)
+
+
+def test_block_store_fingerprint_repack(spark, tmp_path, monkeypatch):
+    """Round-6 ADVICE: ensure_block_store must not reuse a store packed from
+    DIFFERENT inputs over the same path — the _CUTTANA_STORE_FP plan-hash
+    marker forces a re-pack; matching inputs reuse without rewriting."""
+    import os as _os
+
+    import cuttana_spark.analytics.blockstore as B
+
+    monkeypatch.setenv("CUTTANA_BLOCK_ARENA", str(tmp_path / "arena"))
+    e1 = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, p double"
+    )
+    e2 = spark.createDataFrame(  # same vertex set, different edges/weights
+        [(0, 2, 0.5), (1, 2, 0.5)], "src long, dst long, p double"
+    )
+    vp = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0)], "vertex long, partition_id int"
+    )
+    path = str(tmp_path / "store")
+    B.ensure_block_store(e1, vp, path)
+    k1 = B._store_key(path)
+    B.ensure_block_store(e1, vp, path)  # identical inputs -> reused
+    assert B._store_key(path) == k1
+    B.ensure_block_store(e2, vp, path)  # different inputs -> re-packed
+    k2 = B._store_key(path)
+    assert k2 != k1
+    B._CACHE.clear()
+    scores = vp.withColumn("score", F.lit(1.0))
+    got = {
+        r.dst: r.contrib
+        for r in B.scatter_gather_resident(spark, path, scores).collect()
+    }
+    assert got == {2: pytest.approx(1.0)}  # e2's graph, not e1's
+    B.drop_block_store(path)
+
+
+def test_block_store_arena_budget_eviction(spark, tmp_path, monkeypatch):
+    """Round-6: under a tiny injected CUTTANA_ARENA_BYTES budget the arena
+    LRU-evicts whole-partition groups instead of growing without bound, and
+    supersteps stay correct throughout (evicted partitions are rebuilt on
+    demand)."""
+    import glob as _glob
+    import os as _os
+
+    import numpy as _np
+
+    import cuttana_spark.analytics.blockstore as B
+
+    monkeypatch.setenv("CUTTANA_BLOCK_ARENA", str(tmp_path / "arena"))
+    # ~6.4k edges per partition x 16B/edge ~= 100KB/partition across 4 pids
+    n = 25600
+    edges = spark.range(n).select(
+        F.col("id").alias("src"),
+        ((F.col("id") + 1) % n).alias("dst"),
+        F.lit(1.0).alias("p"),
+    )
+    vp = spark.range(n).select(
+        F.col("id").alias("vertex"),
+        (F.col("id") % 4).cast("int").alias("partition_id"),
+    )
+    path = str(tmp_path / "store")
+    B.write_block_store(edges, vp, path)
+    # budget fits roughly 2 of the 4 partition groups
+    monkeypatch.setenv("CUTTANA_ARENA_BYTES", str(220_000))
+    B._CACHE.clear()
+    expect = {pid: None for pid in range(4)}
+    for sweep in range(3):
+        for pid in range(4):
+            B._CACHE.clear()  # force arena (not handle-cache) hits
+            blocks = B.load_blocks(path, pid)
+            tot = float(sum(b["ps"].sum() for b in blocks))
+            if expect[pid] is None:
+                expect[pid] = tot
+            assert tot == expect[pid]  # rebuilt content identical
+            assert int(sum(b["src_idx"].shape[0] for b in blocks)) == n // 4
+    groups = _glob.glob(str(tmp_path / "arena" / "*" / "*.meta.json"))
+    assert 0 < len(groups) < 4  # eviction actually happened
+    usage = sum(sz for _, sz, _ in B._arena_groups(str(tmp_path / "arena")))
+    assert usage <= 220_000
+    B.drop_block_store(path)
+
+
+def test_cc_accel_releases_tail_checkpoints(spark):
+    """Round-6 ADVICE: the contraction pre-pass must not leave the recursive
+    star-loop tail's checkpoints (or its nodes cache) pinned once the O(V)
+    result is re-checkpointed — residency after the call is the result's own
+    generation plus whatever was pinned before."""
+    import networkx as nx
+
+    from cuttana_spark.analytics.components import connected_components
+
+    G = nx.random_lobster(600, 0.6, 0.3, seed=7)
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in G.edges()], "src long, dst long"
+    )
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    before = set(jmap.keys())
+    out = connected_components(
+        spark, edges, accel_rounds=2, accel_min_edges=1, accel_partitions=4
+    )
+    got = {r.vertex: r.component for r in out.collect()}
+    want = {
+        int(v): int(min(c))
+        for c in nx.connected_components(G)
+        for v in c
+    }
+    assert got == want
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    new = set(jmap.keys()) - before
+    # exactly one new pinned generation: the returned result's checkpoint
+    assert len(new) <= 1, f"accel CC leaked {len(new)} persistent RDDs"
+
+
+def test_kcore_self_loops_consistent(spark):
+    """Round-6 ADVICE: inputs containing self-loops must produce the same
+    k-core from the join-based and CSR entry points (both drop src==dst, the
+    simple-graph convention)."""
+    import networkx as nx
+
+    from cuttana_spark.analytics.kcore import k_core, k_core_csr
+
+    G = nx.gnm_random_graph(60, 150, seed=11)
+    rows = [(int(a), int(b)) for a, b in G.edges()]
+    rows += [(5, 5), (17, 17), (59, 59)]  # self-loops
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    verts = sorted({v for r in rows for v in r})  # vp must equal the graph's
+    vp = spark.createDataFrame(  # exact vertex set (frontier contract)
+        [(v, v % 3) for v in verts], "vertex long, partition_id int"
+    )
+    a = {r.vertex for r in k_core(spark, edges, k=3).collect()}
+    b = {r.vertex for r in k_core_csr(spark, edges, vp, k=3).collect()}
+    assert a == b
+    assert a == {v for v, c in nx.core_number(G).items() if c >= 3}
