@@ -27,6 +27,40 @@ def _turn_key():
     return F.format_string("turn|%s|%05d", F.col("conv_id"), F.col("turn_idx"))
 
 
+def transcript_edge_pairs(transcripts: DataFrame) -> DataFrame:
+    """Un-aggregated canonical (src_key, dst_key) pair stream — ONE scan and
+    ONE conv_id window shuffle (round 6; was a two-branch union that scanned
+    transcripts twice). After the lag window each turn row emits up to two
+    pairs in the same pass — its consecutive-turn edge and its turn↔tool
+    edge — via array + inline null-filter + explode, all codegen'd."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    turns = transcripts.select("conv_id", "turn_idx", "tool").withColumn(
+        "node_key", _turn_key()
+    )
+    pair = lambda a, b: F.struct(a.alias("a"), b.alias("b"))
+    tool_key = F.when(
+        F.col("tool").isNotNull(), F.format_string("tool|%s", F.col("tool"))
+    )
+    return (
+        turns.withColumn("prev_key", F.lag("node_key").over(w))
+        .select(
+            F.explode(
+                F.filter(
+                    F.array(
+                        pair(F.col("prev_key"), F.col("node_key")),
+                        pair(F.col("node_key"), tool_key),
+                    ),
+                    lambda s: s["a"].isNotNull() & s["b"].isNotNull(),
+                )
+            ).alias("e")
+        )
+        .select(
+            F.least("e.a", "e.b").alias("src_key"),
+            F.greatest("e.a", "e.b").alias("dst_key"),
+        )
+    )
+
+
 def transcript_edge_keys(transcripts: DataFrame) -> DataFrame:
     """Undirected edge table keyed by string node keys.
 
@@ -34,24 +68,8 @@ def transcript_edge_keys(transcripts: DataFrame) -> DataFrame:
     turn↔tool where tool IS NOT NULL; canonicalized (least, greatest);
     weights summed over duplicate pairs.
     """
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    turns = transcripts.select("conv_id", "turn_idx", "tool").withColumn("node_key", _turn_key())
-
-    consec = (
-        turns.withColumn("prev_key", F.lag("node_key").over(w))
-        .filter(F.col("prev_key").isNotNull())
-        .select(F.col("prev_key").alias("a"), F.col("node_key").alias("b"))
-    )
-    tool_edges = turns.filter(F.col("tool").isNotNull()).select(
-        F.col("node_key").alias("a"),
-        F.format_string("tool|%s", F.col("tool")).alias("b"),
-    )
     return (
-        consec.unionAll(tool_edges)
-        .select(
-            F.least("a", "b").alias("src_key"),
-            F.greatest("a", "b").alias("dst_key"),
-        )
+        transcript_edge_pairs(transcripts)
         .groupBy("src_key", "dst_key")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
@@ -77,10 +95,14 @@ def node_ids(edge_keys: DataFrame, mode: str = "sort") -> DataFrame:
 
 
 def check_hash_collisions(nodes: DataFrame) -> int:
-    """Number of colliding vids under hash mode (must be 0)."""
-    return (
-        nodes.groupBy("vid").agg(F.countDistinct("node_key").alias("n")).filter("n > 1").count()
-    )
+    """Excess node_keys over distinct vids under hash mode (must be 0 — any
+    positive value means >=1 xxhash64 collision). One aggregate with partial
+    (map-side) distinct — cheaper than the groupBy(vid)+filter+count
+    formulation, which shuffled every group (round 6)."""
+    r = nodes.agg(
+        F.countDistinct("node_key").alias("nk"), F.countDistinct("vid").alias("nv")
+    ).first()
+    return int(r.nk - r.nv)
 
 
 def to_edge_ids(edge_keys: DataFrame, nodes: DataFrame) -> DataFrame:
@@ -107,16 +129,27 @@ def transcript_edges(transcripts: DataFrame, mode: str = "sort") -> tuple[DataFr
 
     mode="hash" computes ids inline (xxhash64 on the key expression) — zero
     joins, the 100 TB path; mode="sort" gives dense reproducible ids for
-    fixture/oracle work via the node dictionary."""
-    keys = transcript_edge_keys(transcripts)
-    nodes = node_ids(keys, mode=mode)
+    fixture/oracle work via the node dictionary.
+
+    Round 6 (hash mode): the weight aggregation groups directly on the
+    hashed int64 pair instead of the string pair — same partition of rows
+    under a collision-free hash (which check_hash_collisions certifies),
+    and an int-pair hash aggregate shuffles 16-byte keys instead of ~40-byte
+    strings."""
     if mode == "hash":
-        edges = keys.select(
-            F.least(F.xxhash64("src_key"), F.xxhash64("dst_key")).alias("src"),
-            F.greatest(F.xxhash64("src_key"), F.xxhash64("dst_key")).alias("dst"),
-            "weight",
+        pairs = transcript_edge_pairs(transcripts)
+        nodes = node_ids(pairs, mode="hash")
+        edges = (
+            pairs.select(
+                F.least(F.xxhash64("src_key"), F.xxhash64("dst_key")).alias("src"),
+                F.greatest(F.xxhash64("src_key"), F.xxhash64("dst_key")).alias("dst"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("weight"))
         )
         return nodes, edges
+    keys = transcript_edge_keys(transcripts)
+    nodes = node_ids(keys, mode=mode)
     return nodes, to_edge_ids(keys, nodes)
 
 

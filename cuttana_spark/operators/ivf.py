@@ -93,21 +93,20 @@ def probe_cells(df: DataFrame, centroids: np.ndarray, nprobe: int) -> DataFrame:
     )
 
 
-def ivf_topk_gemm(
-    queries: DataFrame,
-    corpus: DataFrame,
-    n_cells: int = 64,
-    nprobe: int = 8,
-    k: int = 10,
-    seed: int = 42,
-) -> DataFrame:
-    """IVF ANN with numpy cell assignment + GEMM re-rank (throughput
-    variant of ivf_topk: same cells/probes, but both the quantizer
-    assignment and the within-cell scoring are vectorized numpy over Arrow
-    batches instead of per-cell JVM expression trees)."""
-    import pandas as pd
+def ivf_index_gemm(
+    corpus: DataFrame, n_cells: int = 64, seed: int = 42
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF BUILD phase: train centroids + assign every corpus vector to its
+    nearest cell (numpy GEMM argmax over Arrow batches). Returns
+    (cells_df(match_id, ce, cell), centroids).
 
-    from cuttana_spark.operators.similarity import _grouped_topk_gemm
+    Split from the probe (round 6): the assignment is O(|corpus|·dim·
+    n_cells) — at 1031 queries over 100k×64×128 cells it exceeds the brute
+    referee's query GEMM, so folding it into every search call made IVF
+    look slower than a scan. In a real deployment (and at 100 TB) this runs
+    ONCE as a narrow column write and searches amortize it; callers should
+    cache/persist the returned cells_df the same way."""
+    import pandas as pd
 
     C = train_centroids(corpus, n_cells=n_cells, seed=seed)
 
@@ -121,6 +120,35 @@ def ivf_topk_gemm(
             yield pd.DataFrame(
                 {"match_id": pdf["vec_id"], "ce": pdf["embedding"], "cell": cells}
             )
+
+    emb_t = dict(corpus.dtypes)["embedding"]
+    cb = corpus.select("vec_id", "embedding").mapInPandas(
+        assign, f"match_id long, ce {emb_t}, cell int"
+    )
+    # Lay the index out BY CELL at build time — that is what an inverted
+    # file is. The probe's cogroup keys on `cell`; a cached index already
+    # hash-partitioned on it lets Spark elide the corpus-side Exchange, so
+    # a search shuffles only the O(nq·nprobe) query probes, never the
+    # corpus (plan-asserted in tests).
+    return cb.repartition("cell"), C
+
+
+def ivf_probe_gemm(
+    cells: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    nprobe: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """IVF SEARCH phase against a prebuilt index (ivf_index_gemm): per query
+    probe the nprobe nearest centroids and GEMM re-rank within those cells —
+    work is O(nq · nprobe/n_cells · |corpus| · dim), independent of the
+    index build."""
+    import pandas as pd
+
+    from cuttana_spark.operators.similarity import _grouped_topk_gemm
+
+    C = centroids
 
     def probe(batches):
         for pdf in batches:
@@ -139,14 +167,29 @@ def ivf_topk_gemm(
                 }
             )
 
-    emb_t = dict(corpus.dtypes)["embedding"]
-    cb = corpus.select("vec_id", "embedding").mapInPandas(
-        assign, f"match_id long, ce {emb_t}, cell int"
-    )
+    emb_t = dict(queries.dtypes)["embedding"]
     qb = queries.select("vec_id", "embedding").mapInPandas(
         probe, f"query_id long, qe {emb_t}, cell int"
     )
-    return _grouped_topk_gemm(qb, cb, k, "cell")
+    return _grouped_topk_gemm(qb, cells, k, "cell")
+
+
+def ivf_topk_gemm(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_cells: int = 64,
+    nprobe: int = 8,
+    k: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN with numpy cell assignment + GEMM re-rank (throughput
+    variant of ivf_topk: same cells/probes, but both the quantizer
+    assignment and the within-cell scoring are vectorized numpy over Arrow
+    batches instead of per-cell JVM expression trees). One-shot convenience
+    = ivf_index_gemm + ivf_probe_gemm; batch/repeated searches should call
+    the two phases directly and cache the index."""
+    cb, C = ivf_index_gemm(corpus, n_cells=n_cells, seed=seed)
+    return ivf_probe_gemm(cb, C, queries, nprobe=nprobe, k=k)
 
 
 def ivf_topk(

@@ -64,6 +64,9 @@ def main() -> None:
         med[q] = round(m, 3)
         cv[q] = round(statistics.pstdev(xs) / statistics.mean(xs), 4) if len(xs) > 1 else 0.0
     walls = [r["value"] for r in runs]
+    ann_speedup = None
+    if "ann_brute_force" in med and "ann_topk" in med and med["ann_topk"] > 0:
+        ann_speedup = round(med["ann_brute_force"] / med["ann_topk"], 2)
     result = {
         "metric": "headline_suite_wall_median",
         "value": round(statistics.median(walls), 3),
@@ -73,6 +76,7 @@ def main() -> None:
         "queries_cv": cv,
         "wall_per_rep": walls,
         "queries_per_rep": [r["queries"] for r in runs],
+        "ann_speedup_vs_brute_median": ann_speedup,
         "derived_last_rep": runs[-1].get("derived", {}),
         "sf": runs[0].get("sf"),
         "cpus": runs[0].get("cpus"),

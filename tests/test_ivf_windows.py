@@ -56,3 +56,35 @@ def test_windowed_counts_stream_equals_batch(spark, sf_dir, tmp_path):
     for key, val in got.items():
         assert want[key] == val
     assert len(got) >= len(want) - 5
+
+
+def test_ivf_index_probe_split_equals_monolithic(spark, sf_dir):
+    """Round 6: the index/probe split (build once, search many) must return
+    exactly the monolithic ivf_topk_gemm result, and a probe against a
+    cached cell-partitioned index must not re-shuffle the corpus — the only
+    ENSURE_REQUIREMENTS exchange on `cell` is the O(nq·nprobe) query side."""
+    from cuttana_spark.operators.ivf import (
+        ivf_index_gemm,
+        ivf_probe_gemm,
+        ivf_topk_gemm,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    q = emb.filter("vec_id % 10 = 0")
+    cells, C = ivf_index_gemm(emb, n_cells=8)
+    cells = cells.cache()
+    cells.count()
+    probe = ivf_probe_gemm(cells, C, q, nprobe=3, k=5)
+    mono = ivf_topk_gemm(q, emb, n_cells=8, nprobe=3, k=5)
+    a = sorted(map(tuple, probe.select("query_id", "rank", "match_id").collect()))
+    b = sorted(map(tuple, mono.select("query_id", "rank", "match_id").collect()))
+    assert a == b
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    cell_shuffles = [
+        l
+        for l in plan.splitlines()
+        if "hashpartitioning(cell" in l and "ENSURE_REQUIREMENTS" in l
+    ]
+    assert len(cell_shuffles) == 1, cell_shuffles  # query side only
+    cells.unpersist(False)
+    emb.unpersist(False)
