@@ -138,22 +138,20 @@ def connected_components(
         import time as _time
 
         from cuttana_spark.analytics.csr import gather_min, pack_blocks
+        from cuttana_spark.analytics.graphstore import sym_unit_graph
 
-        # synthetic hash partition map — CC needs no Cuttana map, only a
-        # consistent routing of edges to their source's partition. Because
-        # the map is an EXPRESSION (pmod(xxhash64(v), k)), routing the edges
-        # needs no O(E)⋈O(V) join (pack_blocks src_pid=) and the per-round
-        # label update needs no re-attach join: partition_id is recomputed
-        # from the vertex id for free inside codegen.
-        def _pid_of(col):
-            return F.pmod(F.xxhash64(col), F.lit(accel_partitions)).cast("int")
-
-        vp = nodes.select("vertex", _pid_of(F.col("vertex")).alias("partition_id"))
-        sym = e.unionAll(
-            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).select(
-            F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("p")
-        )
+        # Canonical shared payload + synthetic hash map (graphstore.py) —
+        # CC needs no Cuttana map, only a consistent routing of edges to
+        # their source's partition. Because the map is an EXPRESSION
+        # (pmod(xxhash64(v), k)), routing the edges needs no O(E)⋈O(V) join
+        # (pack_blocks src_pid=) and the per-round label update needs no
+        # re-attach join: partition_id is recomputed from the vertex id for
+        # free inside codegen. The payload is built from the ORIGINAL
+        # `edges` plan (not the localCheckpointed `e`, whose plan hash is
+        # run-specific), so with block_store set the store fingerprint
+        # equals k_core_csr's / label_propagation_csr's over the same edges
+        # DataFrame and partition count — one pack serves all three.
+        sym, vp, _pid_of = sym_unit_graph(edges, accel_partitions)
         if block_store is not None:
             from cuttana_spark.analytics.blockstore import (
                 ensure_block_store,

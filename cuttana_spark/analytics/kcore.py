@@ -22,12 +22,13 @@ from pyspark.sql import functions as F
 def k_core_csr(
     spark: SparkSession,
     edges: DataFrame,
-    vertex_partitions: DataFrame,
+    vertex_partitions: DataFrame | None,
     k: int,
     max_rounds: int = 200,
     bucketed_table: str | None = None,
     round_walls: list | None = None,
     block_store: str | None = None,
+    hash_partitions: int | None = None,
 ) -> DataFrame:
     """k-core peeling on the CSR gather-scatter skeleton (round 5).
 
@@ -47,41 +48,59 @@ def k_core_csr(
     would be silently dropped). The Cuttana partitioner over the same
     graph's adjacency satisfies this; any total vertex→partition map is
     CORRECT (partition quality only affects locality, never the result).
+
+    hash_partitions (round 6): pass an int INSTEAD of vertex_partitions to
+    use the canonical expression map + shared sym-unit payload
+    (graphstore.sym_unit_graph). With block_store set, the resulting store
+    fingerprint matches LPA's and CC's over the same edges DataFrame and
+    partition count, so one pack serves all three (and the O(E)⋈O(V)
+    routing join is skipped — the map is an expression).
     """
     from cuttana_spark.analytics.csr import pack_blocks, scatter_gather
     from cuttana_spark.plans.checkpoints import CheckpointCycler
 
-    sym = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    if (vertex_partitions is None) == (hash_partitions is None):
+        raise ValueError("pass exactly one of vertex_partitions / hash_partitions")
     if bucketed_table is not None and block_store is not None:
         raise ValueError("pass at most one of bucketed_table / block_store")
-    trans = sym.filter(F.col("src") != F.col("dst")).withColumn("p", F.lit(1.0))
+    src_pid = None
+    if hash_partitions is not None:
+        from cuttana_spark.analytics.graphstore import sym_unit_graph
+
+        trans, vp, pid_of = sym_unit_graph(edges, hash_partitions)
+        src_pid = pid_of(F.col("src"))
+        frontier = vp.withColumn("score", F.lit(1.0))
+    else:
+        sym = edges.select("src", "dst").unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        trans = sym.filter(F.col("src") != F.col("dst")).withColumn(
+            "p", F.lit(1.0)
+        )
+        vp = vertex_partitions.select("vertex", "partition_id")
+        nodes = sym.select(F.col("src").alias("vertex")).distinct()
+        frontier = nodes.join(vp, "vertex").withColumn("score", F.lit(1.0))
     if block_store is not None:
         from cuttana_spark.analytics.blockstore import (
             ensure_block_store,
             scatter_gather_resident,
         )
 
-        ensure_block_store(trans, vertex_partitions, block_store)
+        ensure_block_store(trans, vp, block_store, src_pid=src_pid)
         blocks = None
         gather = lambda f: scatter_gather_resident(spark, block_store, f)
     elif bucketed_table is not None:
         if not spark.catalog.tableExists(bucketed_table):
-            nb = int(vertex_partitions.agg(F.max("partition_id")).first()[0]) + 1
-            pack_blocks(trans, vertex_partitions).write.bucketBy(
+            nb = int(vp.agg(F.max("partition_id")).first()[0]) + 1
+            pack_blocks(trans, vp, src_pid=src_pid).write.bucketBy(
                 nb, "partition_id"
             ).mode("overwrite").saveAsTable(bucketed_table)
         blocks = spark.table(bucketed_table)
         gather = lambda f: scatter_gather(spark, blocks, f)
     else:
-        blocks = pack_blocks(trans, vertex_partitions).cache()
+        blocks = pack_blocks(trans, vp, src_pid=src_pid).cache()
         blocks.count()
         gather = lambda f: scatter_gather(spark, blocks, f)
-
-    vp = vertex_partitions.select("vertex", "partition_id")
-    nodes = sym.select(F.col("src").alias("vertex")).distinct()
-    frontier = nodes.join(vp, "vertex").withColumn("score", F.lit(1.0))
 
     import time as _time
 

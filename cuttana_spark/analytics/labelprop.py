@@ -6,6 +6,12 @@ Deterministic by construction — (count DESC, label ASC) row_number window —
 so the run is exactly reproducible and checkable against a pure-Python
 oracle. Fixed max_iter (LPA need not converge; synchronous LPA can
 oscillate on bipartite structures).
+
+Self-loops are NOT neighbors (round 6): both entry points drop src == dst,
+the same simple-graph convention as kcore.py, so the join and CSR paths
+cannot diverge on inputs containing self-loops (a self-loop-only vertex is
+"isolated" and keeps its label — which is also what counting its own label
+would have produced, but tie-breaks against other neighbors differed).
 """
 
 from __future__ import annotations
@@ -21,10 +27,19 @@ def label_propagation(
     runner=None,
 ) -> DataFrame:
     """edges: undirected (src, dst[, weight]) → DataFrame[vertex, label]."""
-    sym = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym = (
+        edges.select("src", "dst")
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
     )
-    nodes = sym.select(F.col("src").alias("vertex")).distinct().cache()
+    nodes = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionAll(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .cache()
+    )
     labels = nodes.withColumn("label", F.col("vertex"))
 
     start = 0
@@ -63,10 +78,11 @@ def label_propagation(
 def label_propagation_csr(
     spark: SparkSession,
     edges: DataFrame,
-    vertex_partitions: DataFrame,
+    vertex_partitions: DataFrame | None,
     max_iter: int = 10,
     bucketed_table: str | None = None,
     block_store: str | None = None,
+    hash_partitions: int | None = None,
 ) -> DataFrame:
     """LPA on the CSR gather-scatter skeleton (round 5) — identical
     semantics to label_propagation() (most frequent neighbor label, ties →
@@ -78,44 +94,66 @@ def label_propagation_csr(
     sort. vertex_partitions must cover every vertex (see k_core_csr); any
     total map is correct, partition quality only affects locality.
     block_store: executor-resident store dir (see blockstore.py) — only the
-    O(V) frontier enters the plan; mutually exclusive with bucketed_table."""
+    O(V) frontier enters the plan; mutually exclusive with bucketed_table.
+    hash_partitions (round 6): pass an int INSTEAD of vertex_partitions to
+    use the canonical expression map + shared sym-unit payload
+    (graphstore.sym_unit_graph) — with block_store, the store fingerprint
+    matches k-core's and CC's over the same edges, so one pack serves all
+    three."""
     from cuttana_spark.analytics.csr import (
         gather_label_counts,
         pack_blocks,
     )
     from cuttana_spark.plans.checkpoints import CheckpointCycler
 
-    sym = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    if (vertex_partitions is None) == (hash_partitions is None):
+        raise ValueError("pass exactly one of vertex_partitions / hash_partitions")
     if bucketed_table is not None and block_store is not None:
         raise ValueError("pass at most one of bucketed_table / block_store")
-    trans = sym.withColumn("p", F.lit(1.0))  # ps unused by the label kernel
+    src_pid = None
+    if hash_partitions is not None:
+        from cuttana_spark.analytics.graphstore import sym_unit_graph
+
+        trans, vp, pid_of = sym_unit_graph(edges, hash_partitions)
+        src_pid = pid_of(F.col("src"))
+        frontier = vp.withColumn("label", F.col("vertex"))
+    else:
+        sym = (
+            edges.select("src", "dst")
+            .unionAll(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        trans = sym.withColumn("p", F.lit(1.0))  # ps unused by the label kernel
+        vp = vertex_partitions.select("vertex", "partition_id")
+        nodes = (
+            edges.select(F.col("src").alias("vertex"))
+            .unionAll(edges.select(F.col("dst").alias("vertex")))
+            .distinct()
+        )
+        frontier = nodes.join(vp, "vertex").withColumn("label", F.col("vertex"))
     if block_store is not None:
         from cuttana_spark.analytics.blockstore import (
             ensure_block_store,
             gather_label_counts_resident,
         )
 
-        ensure_block_store(trans, vertex_partitions, block_store)
+        ensure_block_store(trans, vp, block_store, src_pid=src_pid)
         blocks = None
         gather = lambda f: gather_label_counts_resident(spark, block_store, f)
     elif bucketed_table is not None:
         if not spark.catalog.tableExists(bucketed_table):
-            nb = int(vertex_partitions.agg(F.max("partition_id")).first()[0]) + 1
-            pack_blocks(trans, vertex_partitions).write.bucketBy(
+            nb = int(vp.agg(F.max("partition_id")).first()[0]) + 1
+            pack_blocks(trans, vp, src_pid=src_pid).write.bucketBy(
                 nb, "partition_id"
             ).mode("overwrite").saveAsTable(bucketed_table)
         blocks = spark.table(bucketed_table)
         gather = lambda f: gather_label_counts(spark, blocks, f)
     else:
-        blocks = pack_blocks(trans, vertex_partitions).cache()
+        blocks = pack_blocks(trans, vp, src_pid=src_pid).cache()
         blocks.count()
         gather = lambda f: gather_label_counts(spark, blocks, f)
-
-    vp = vertex_partitions.select("vertex", "partition_id")
-    nodes = sym.select(F.col("src").alias("vertex")).distinct()
-    frontier = nodes.join(vp, "vertex").withColumn("label", F.col("vertex"))
 
     ck = CheckpointCycler(spark)
     frontier = ck.checkpoint(frontier)
