@@ -35,13 +35,22 @@ records two /proc/stat-derived signals over its own window:
   * busy_cores   = Δ(user+nice+system) / Δwall — this VM's total CPU use;
     during a local[N] rep anything far above N is foreign in-VM load.
 
-A rep is tagged CONTENDED iff steal_cores > 1.0 OR busy_cores > level + 8.
-Per (subject, level) the screened estimator is the median over
-non-contended reps when >= 3 survive; otherwise it falls back to the r5
-drop-single-worst-rep trim. The headline efficiency uses the screened
-medians; every raw wall, every rep median, every contention sample and the
-count of screened-out reps are reported alongside so the screening is
-fully auditable.
+plus one intra-rep signal the CPU counters cannot see (host-level memory /
+I/O bursts inflate individual supersteps 5-20x while steal and busy stay
+flat — observed in the abandoned first r6 window: steady walls
+[3.0, 2.9, 5.9, 33.4, 28.1, ...] at busy 7.85 / steal 0.02):
+
+  * burst_ratio   = max(steady_walls) / median(steady_walls) — a single
+    superstep several times the rep's own median is an external stall; the
+    engine's own work is identical every superstep by construction.
+
+A rep is tagged CONTENDED iff steal_cores > 1.0 OR busy_cores > level + 8
+OR burst_ratio > 3.0. Per (subject, level) the screened estimator is the
+median over non-contended reps when >= 3 survive; otherwise it falls back
+to the r5 drop-single-worst-rep trim. The headline efficiency uses the
+screened medians; every raw wall, every rep median, every contention
+sample and the count of screened-out reps are reported alongside so the
+screening is fully auditable.
 
 Why three levels: on ONE box all threads share one memory bus, so the
 shuffle-bound PageRank superstep stops scaling once the bus saturates —
@@ -263,10 +272,17 @@ def _run_worker(code: str, args: list[str], timeout: int = 2400) -> dict:
 
 STEAL_LIMIT = 1.0  # cores stolen by the hypervisor during the rep window
 BUSY_SLACK = 8.0  # in-VM cores beyond the rep's own level
+BURST_RATIO = 3.0  # max(steady)/median(steady) — intra-rep stall detector
 
 
-def _contended(level: int, busy_cores: float, steal_cores: float) -> bool:
-    return steal_cores > STEAL_LIMIT or busy_cores > level + BUSY_SLACK
+def _contended(
+    level: int, busy_cores: float, steal_cores: float, burst_ratio: float
+) -> bool:
+    return (
+        steal_cores > STEAL_LIMIT
+        or busy_cores > level + BUSY_SLACK
+        or burst_ratio > BURST_RATIO
+    )
 
 
 def _ensure_fixture(nconv: int) -> None:
@@ -333,19 +349,24 @@ def main() -> None:
                 edges_count = res["edges"]
                 steady = res["walls"][4:]  # drop JIT/codegen/cache warmup supersteps
                 raw_walls[subj][cpus].append(res["walls"])
-                medians[subj][cpus].append(statistics.median(steady))
-                bad = _contended(cpus, res["_busy_cores"], res["_steal_cores"])
+                med = statistics.median(steady)
+                medians[subj][cpus].append(med)
+                burst = round(max(steady) / med, 2) if med > 0 else 1.0
+                bad = _contended(
+                    cpus, res["_busy_cores"], res["_steal_cores"], burst
+                )
                 contention[subj][cpus].append(
                     {
                         "busy_cores": res["_busy_cores"],
                         "steal_cores": res["_steal_cores"],
+                        "burst_ratio": burst,
                         "contended": bad,
                     }
                 )
                 print(
                     f"rep {rep} {subj} local[{cpus}]: median "
                     f"{medians[subj][cpus][-1]:.2f}s busy {res['_busy_cores']} "
-                    f"steal {res['_steal_cores']}"
+                    f"steal {res['_steal_cores']} burst {burst}"
                     f"{' CONTENDED' if bad else ''} walls {res['walls']}",
                     file=sys.stderr,
                 )
@@ -433,11 +454,15 @@ def main() -> None:
         "raw_walls": {
             s: {f"local[{c}]": raw_walls[s][c] for c in levels} for s in subjects
         },
-        "outlier_policy": "per level+subject, the single worst rep median is "
-        "dropped from the *_trimmed fields and efficiency (stated policy for "
-        "a co-tenant-shared box — an external load burst occasionally "
-        "pollutes one whole rep); outliers_dropped counts them and the "
-        "untrimmed rep_medians/cv stay alongside for audit",
+        "outlier_policy": "round-6 contention screen, stated in "
+        "bench_scaling.py BEFORE this run: a rep is CONTENDED iff "
+        "steal_cores > 1.0 (hypervisor steal during its window) OR "
+        "busy_cores > level + 8 (foreign in-VM load) OR burst_ratio > 3.0 "
+        "(max/median of its own steady supersteps — host-level stalls the "
+        "CPU counters cannot see). Estimator = median over non-contended "
+        "reps when >= 3 survive, else the r5 drop-single-worst-rep trim "
+        "(screen_estimator names which applied). Every raw wall, rep "
+        "median and contention sample is in this file for audit",
         "note": "local[N] proxies N executors on a 32-core box; the 2->8 "
         "pair is the N->4N proxy. Both subjects run AQE-off per-superstep "
         "jobs. pagerank (df) shuffles the full O(E) transition join "
