@@ -323,6 +323,10 @@ def main() -> None:
     _ensure_partition_fixture(nconv, shuf)
 
     levels = (2, 8, 32)
+    if "--levels" in sys.argv:
+        levels = tuple(
+            int(x) for x in sys.argv[sys.argv.index("--levels") + 1].split(",")
+        )
     subjects = {
         "pagerank": PR_WORKER,
         "pagerank_csr": CSR_WORKER,
@@ -417,8 +421,11 @@ def main() -> None:
         s: {f"local[{c}]": level_stats(s, c) for c in levels} for s in subjects
     }
 
-    aux = {c: _run_worker(AUX_WORKER, [str(c), str(nconv)]) for c in (8, 32)}
-    aux2 = {c: _run_worker(AUX_WORKER, [str(c), str(nconv)]) for c in (2,)}
+    if "--no-aux" in sys.argv:
+        aux = aux2 = None
+    else:
+        aux = {c: _run_worker(AUX_WORKER, [str(c), str(nconv)]) for c in (8, 32)}
+        aux2 = {c: _run_worker(AUX_WORKER, [str(c), str(nconv)]) for c in (2,)}
 
     def aux_eff(job: str, key: str, a: int, b: int, d: dict) -> float:
         return round(d[b][job][key] / (4 * d[a][job][key]), 3)
@@ -430,7 +437,7 @@ def main() -> None:
     )
     result = {
         "metric": "pagerank_scaling_efficiency_N_to_4N",
-        "value": eff(medians[headline], 2, 8),
+        "value": eff(headline, 2, 8),
         "unit": "ratio",
         "headline_subject": headline,
         "method": "steady-state sec/superstep, per-superstep jobs, warmup-4 "
@@ -441,15 +448,19 @@ def main() -> None:
     }
     for s in subjects:
         result[s] = sections[s]
-        result[f"{s}_efficiency_2_to_8"] = eff(medians[s], 2, 8)
-        result[f"{s}_efficiency_8_to_32"] = eff(medians[s], 8, 32)
+        result[f"{s}_efficiency_2_to_8"] = eff(s, 2, 8)
+        if 32 in levels:
+            result[f"{s}_efficiency_8_to_32"] = eff(s, 8, 32)
+    if aux is not None:
+        result |= {
+            "minhash_efficiency_8_to_32": aux_eff("minhash", "docs_per_sec", 8, 32, aux),
+            "kernel_efficiency_8_to_32": aux_eff("kernel", "rows_per_sec", 8, 32, aux),
+            "kernel_efficiency_2_to_8": round(
+                aux[8]["kernel"]["rows_per_sec"] / (4 * aux2[2]["kernel"]["rows_per_sec"]), 3
+            ),
+            "aux_levels": {**{str(k): v for k, v in aux.items()}, "2": aux2[2]},
+        }
     result |= {
-        "minhash_efficiency_8_to_32": aux_eff("minhash", "docs_per_sec", 8, 32, aux),
-        "kernel_efficiency_8_to_32": aux_eff("kernel", "rows_per_sec", 8, 32, aux),
-        "kernel_efficiency_2_to_8": round(
-            aux[8]["kernel"]["rows_per_sec"] / (4 * aux2[2]["kernel"]["rows_per_sec"]), 3
-        ),
-        "aux_levels": {**{str(k): v for k, v in aux.items()}, "2": aux2[2]},
         "edges": edges_count,
         "raw_walls": {
             s: {f"local[{c}]": raw_walls[s][c] for c in levels} for s in subjects

@@ -47,10 +47,23 @@ def main() -> None:
     n_edges = eids.count()
     adj = E.adjacency(eids)
 
+    def proc_stat():
+        with open("/proc/stat") as fh:
+            p = fh.readline().split()
+        return (int(p[1]) + int(p[2]) + int(p[3])) / 100.0, int(p[8]) / 100.0
+
     stats: dict = {}
+    busy0, steal0 = proc_stat()
     t0 = time.monotonic()
     res = cuttana_partition_df_spill(adj, 32, batch_size=4096, stats=stats)
     t_part = time.monotonic() - t0
+    busy1, steal1 = proc_stat()
+    # window-contention evidence (round 6): the partition stage is a mostly
+    # sequential driver loop, so box busy far above ~2-4 cores or nonzero
+    # hypervisor steal marks an interference window (same signals as
+    # bench_scaling.py's screen)
+    busy_cores = round((busy1 - busy0) / t_part, 2)
+    steal_cores = round((steal1 - steal0) / t_part, 3)
 
     vp = res.to_spark_df(spark).select("vertex", "partition_id")
     sym = E.symmetrize(eids)
@@ -90,6 +103,8 @@ def main() -> None:
                 "n_segments": int(stats["n_segments"]),
                 "n_vertices_state": int(stats["n_vertices_state"]),
                 "pagerank_csr_5_supersteps_sec": round(t_pr, 3),
+                "partition_window_busy_cores": busy_cores,
+                "partition_window_steal_cores": steal_cores,
             }
         )
     )
