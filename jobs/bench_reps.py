@@ -64,9 +64,26 @@ def main() -> None:
         med[q] = round(m, 3)
         cv[q] = round(statistics.pstdev(xs) / statistics.mean(xs), 4) if len(xs) > 1 else 0.0
     walls = [r["value"] for r in runs]
+    # steady-state estimator, consistent with bench.py's derived block: pool
+    # every rep's post-warmup ANN walls (walls[1:] — the first in-JVM rep
+    # carries the 32-worker Python spin-up) and take median-of-pool. The
+    # one-shot queries_median ratio would measure worker spin-up, not the
+    # index (the round-6 accounting correction).
     ann_speedup = None
-    if "ann_brute_force" in med and "ann_topk" in med and med["ann_topk"] > 0:
-        ann_speedup = round(med["ann_brute_force"] / med["ann_topk"], 2)
+    bpool = [
+        w
+        for r in runs
+        for w in r.get("derived", {}).get("ann_brute_walls", [])[1:]
+    ]
+    tpool = [
+        w
+        for r in runs
+        for w in r.get("derived", {}).get("ann_probe_walls", [])[1:]
+    ]
+    if bpool and tpool:
+        ann_speedup = round(
+            statistics.median(bpool) / statistics.median(tpool), 2
+        )
     result = {
         "metric": "headline_suite_wall_median",
         "value": round(statistics.median(walls), 3),
