@@ -112,7 +112,34 @@ def connected_components(
     the savings even at E/V=5 — keep it off unless the graph is dense and a
     store path (shared storage on a real cluster, tmpfs locally) is
     available. ``block_store``: directory for the packed blocks; the caller
-    owns the lifecycle (drop_block_store when done)."""
+    owns the lifecycle (drop_block_store when done).
+
+    AQE (round 7): measured A/B at the 1.3M-edge bench graph — star rounds
+    run ~1.6x FASTER with AQE ON (11.4-12.3 s vs 17.8-20.9 s for the full
+    run), the opposite of pagerank()'s per-superstep finding. The shapes
+    differ: pagerank supersteps are fixed-size (AQE re-plans the identical
+    query every round for nothing), while star rounds SHRINK the edge set
+    round over round, so AQE's runtime broadcast conversion and partition
+    coalescing pay more each round. AQE therefore stays at the session
+    setting here; do not copy pagerank's AQE-off pattern into this loop."""
+    return _connected_components_impl(
+        spark, edges, max_rounds, runner, sig_every, round_walls,
+        accel_rounds, accel_min_edges, accel_partitions, block_store,
+    )
+
+
+def _connected_components_impl(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_rounds: int,
+    runner,
+    sig_every: int,
+    round_walls: list | None,
+    accel_rounds: int,
+    accel_min_edges: int,
+    accel_partitions: int,
+    block_store: str | None,
+) -> DataFrame:
     nodes = (
         edges.select(F.col("src").alias("vertex"))
         .unionAll(edges.select(F.col("dst").alias("vertex")))

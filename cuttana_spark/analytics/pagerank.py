@@ -113,25 +113,28 @@ def _pagerank_impl(
     iter_walls, stable_layout, _time,
 ):
     edges = edges.select("src", "dst", F.col("weight").cast("double"))
-    nodes = _nodes(edges).cache()
-    # ONE driver action fills the nodes cache and answers both questions the
-    # loop needs (vertex count, any-dangling?) — a separate left_anti count
-    # for dangling was a second full action (~1.5 s on the 1.3M-edge bench).
-    srcs = edges.select(F.col("src").alias("vertex")).distinct().withColumn(
-        "_has_out", F.lit(1)
+    # ONE aggregation pass answers everything the loop needs about the
+    # vertex set: the set itself, the count, and which vertices lack an
+    # out-edge (round 7; was nodes.distinct + srcs.distinct + a left join —
+    # three exchanges over up to 2x the rows). groupBy(max) has map-side
+    # partial aggregation, so the single exchange carries ~V rows.
+    flags = (
+        edges.select(F.col("src").alias("vertex"), F.lit(1).alias("_has_out"))
+        .unionAll(edges.select(F.col("dst").alias("vertex"), F.lit(0).alias("_has_out")))
+        .groupBy("vertex")
+        .agg(F.max("_has_out").alias("_has_out"))
+        .cache()
     )
-    row = (
-        nodes.join(srcs, "vertex", "left")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("_has_out").isNull(), 1).otherwise(0)).alias("n_dangling"),
-        )
-        .first()
-    )
+    row = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_has_out") == 0, 1).otherwise(0)).alias("n_dangling"),
+    ).first()
     n = row.n
     if n == 0:
+        flags.unpersist(False)
         return spark.createDataFrame([], "vertex long, score double")
     has_dangling = row.n_dangling > 0
+    nodes = flags.select("vertex")
 
     # The transition matrix is STATIC across supersteps and joined on src
     # every one of them. Built with a window over src (p = w / sum(w) per
@@ -159,7 +162,7 @@ def _pagerank_impl(
     if stable_layout:
         trans.count()
     dangling_nodes = (
-        nodes.join(srcs.select("vertex"), "vertex", "left_anti").cache()
+        flags.filter(F.col("_has_out") == 0).select("vertex")
         if has_dangling
         else None
     )
@@ -229,9 +232,8 @@ def _pagerank_impl(
     # the returned ranks is a checkpointed LogicalRDD — the per-call input
     # caches are dead weight now; unpersist so repeated calls don't pile up
     # evictable-but-noisy blocks in the BlockManager
-    for c in (nodes, trans, dangling_nodes):
-        if c is not None:
-            c.unpersist(False)
+    for c in (flags, trans):
+        c.unpersist(False)
     return ck.finish(ranks)
 
 
@@ -282,7 +284,6 @@ def pagerank_csr(
     if bucketed_table is not None and block_store is not None:
         raise ValueError("pass at most one of bucketed_table / block_store")
     edges = edges.select("src", "dst", F.col("weight").cast("double"))
-    nodes = _nodes(edges)
     # window-built transition matrix — see pagerank(): no out_w subtree,
     # bit-identical p on count-weighted graphs
     trans = edges.select(
@@ -319,18 +320,22 @@ def pagerank_csr(
     # carry partition_id through the loop so each superstep needs no extra
     # score→partition join (vertices without a partition — possible only for
     # dangling-only ids — contribute nothing and keep pid -1). The dangling
-    # indicator rides in the same cached relation, so ONE driver action
-    # fills the cache and answers vertex count + any-dangling (was three).
-    srcs = edges.select(F.col("src").alias("vertex")).distinct().withColumn(
-        "_has_out", F.lit(1)
+    # indicator is computed in the SAME aggregation pass that builds the
+    # vertex set (round 7; was nodes.distinct + srcs.distinct + two joins —
+    # the fused groupBy(max) carries ~V rows through one exchange), and ONE
+    # driver action fills the cache and answers vertex count + any-dangling.
+    vflags = (
+        edges.select(F.col("src").alias("vertex"), F.lit(1).alias("_has_out"))
+        .unionAll(edges.select(F.col("dst").alias("vertex"), F.lit(0).alias("_has_out")))
+        .groupBy("vertex")
+        .agg(F.max("_has_out").alias("_has_out"))
     )
     nodes_flags = (
-        nodes.join(vp, "vertex", "left")
-        .join(srcs, "vertex", "left")
+        vflags.join(vp, "vertex", "left")
         .select(
             "vertex",
             F.coalesce("partition_id", F.lit(-1)).alias("partition_id"),
-            F.coalesce("_has_out", F.lit(0)).alias("_has_out"),
+            "_has_out",
         )
         .cache()
     )

@@ -14,20 +14,36 @@ from pyspark.sql import functions as F
 
 
 def oriented_edges(edges: DataFrame) -> DataFrame:
-    """Undirected (src, dst) → oriented (a, b) with (deg, id) order a < b."""
+    """Undirected (src, dst) → oriented (a, b) with (deg, id) order a < b.
+
+    Round 7: dedup + degree-join on the CANONICAL edge set (E rows) instead
+    of the symmetrized one (2E rows): distinct() now shuffles E rows, the
+    two degree joins probe E rows each (was 2E), and the orientation is a
+    per-row expression over the canonical pair. The emitted oriented edge
+    set is identical: the old formulation kept exactly the (lo→hi) direction
+    of every symmetric pair; this one constructs it directly."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    deg = sym.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
-    d1 = deg.select(F.col("v").alias("src"), F.col("deg").alias("deg_src"))
-    d2 = deg.select(F.col("v").alias("dst"), F.col("deg").alias("deg_dst"))
-    lt = (F.col("deg_src") < F.col("deg_dst")) | (
-        (F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionAll(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d1 = deg.select(F.col("x").alias("u"), F.col("deg").alias("deg_u"))
+    d2 = deg.select(F.col("x").alias("v"), F.col("deg").alias("deg_v"))
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
     )
     return (
-        sym.join(d1, "src")
-        .join(d2, "dst")
-        .filter(lt)
-        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        und.join(d1, "u")
+        .join(d2, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
     )
 
 

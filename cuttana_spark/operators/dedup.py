@@ -42,7 +42,14 @@ def minhash_signatures(
     h_i(shingle) = portable_hash64(i || '|' || shingle); sig[i] = min over
     the doc's shingles. The explode is aggregated immediately (map-side
     partial min), so shuffle volume is O(docs × num_hashes)."""
-    sh = shingles(df, text_col, n=shingle_n)
+    return _signatures_from_shingles(shingles(df, text_col, n=shingle_n), num_hashes)
+
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """minhash_signatures body over a prepared (doc_id, shingle) relation —
+    lets minhash_pairs share ONE cached shingle scan between the signature
+    and verify passes (round 7; the sig pass previously re-ran the full
+    normalize+split+transform+explode)."""
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     hashed = sh.select(
         "doc_id",
@@ -72,7 +79,8 @@ def minhash_pairs(
     n-gram Jaccard. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b,
     jaccard >= threshold."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, num_hashes, shingle_n)
+    sh = shingles(df, text_col, n=shingle_n).cache()
+    sig = _signatures_from_shingles(sh, num_hashes)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -92,7 +100,7 @@ def minhash_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    jac = ngram_jaccard_for_pairs(df, cand, text_col, shingle_n)
+    jac = _jaccard_from_shingles(sh, cand)
     return jac.filter(F.col("jaccard") >= threshold)
 
 
@@ -101,6 +109,11 @@ def ngram_jaccard_for_pairs(
 ) -> DataFrame:
     """Exact Jaccard for given (doc_a, doc_b) pairs via the shingle index."""
     sh = shingles(df, text_col, n=shingle_n).cache()
+    return _jaccard_from_shingles(sh, pairs)
+
+
+def _jaccard_from_shingles(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Jaccard for (doc_a, doc_b) pairs over a prepared shingle relation."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.withColumnRenamed("doc_id", "doc_a")
@@ -166,9 +179,7 @@ def ngram_jaccard_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    return ngram_jaccard_for_pairs(df, cand, text_col, shingle_n).filter(
-        F.col("jaccard") >= threshold
-    )
+    return _jaccard_from_shingles(sh, cand).filter(F.col("jaccard") >= threshold)
 
 
 def simhash(

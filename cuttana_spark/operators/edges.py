@@ -27,6 +27,26 @@ def _turn_key():
     return F.format_string("turn|%s|%05d", F.col("conv_id"), F.col("turn_idx"))
 
 
+# one live ephemeral cache per slot: the NEXT call of the same slot releases
+# the previous call's blocks, so repeated derivations never accumulate dead
+# cached data (single-driver usage; a second concurrent derivation over a
+# different input would thrash the slot but stay correct — recompute, not
+# wrong data).
+_EPHEMERAL: dict[str, DataFrame] = {}
+
+
+def _swap_ephemeral(slot: str, df: DataFrame) -> DataFrame:
+    prev = _EPHEMERAL.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist(False)
+        except Exception:
+            pass
+    df = df.persist()
+    _EPHEMERAL[slot] = df
+    return df
+
+
 def transcript_edge_pairs(transcripts: DataFrame) -> DataFrame:
     """Un-aggregated canonical (src_key, dst_key) pair stream — ONE scan and
     ONE conv_id window shuffle (round 6; was a two-branch union that scanned
@@ -96,11 +116,13 @@ def node_ids(edge_keys: DataFrame, mode: str = "sort") -> DataFrame:
 
 def check_hash_collisions(nodes: DataFrame) -> int:
     """Excess node_keys over distinct vids under hash mode (must be 0 — any
-    positive value means >=1 xxhash64 collision). One aggregate with partial
-    (map-side) distinct — cheaper than the groupBy(vid)+filter+count
-    formulation, which shuffled every group (round 6)."""
+    positive value means >=1 xxhash64 collision). node_ids() already emits
+    DISTINCT node_keys, so count(node_key) == countDistinct(node_key) by
+    construction; keeping only ONE distinct aggregate (vid) avoids the
+    multi-distinct Expand that doubled the aggregate's input rows (round 7;
+    was two countDistinct)."""
     r = nodes.agg(
-        F.countDistinct("node_key").alias("nk"), F.countDistinct("vid").alias("nv")
+        F.count("node_key").alias("nk"), F.countDistinct("vid").alias("nv")
     ).first()
     return int(r.nk - r.nv)
 
@@ -135,9 +157,19 @@ def transcript_edges(transcripts: DataFrame, mode: str = "sort") -> tuple[DataFr
     hashed int64 pair instead of the string pair — same partition of rows
     under a collision-free hash (which check_hash_collisions certifies),
     and an int-pair hash aggregate shuffles 16-byte keys instead of ~40-byte
-    strings."""
+    strings.
+
+    Round 7 (hash mode): the canonical pair stream is persisted (one live
+    cache per call family — see _swap_ephemeral) because BOTH returned
+    relations consume it and typical callers run >=2 actions over them
+    (edge count, node count, collision check): without the cache every
+    action re-executed the scan + lag window + explode (~3x the derivation
+    cost in bench.py's timed section). The cache is an intermediate inside
+    the computation, released on the next derivation call."""
     if mode == "hash":
-        pairs = transcript_edge_pairs(transcripts)
+        pairs = _swap_ephemeral(
+            "transcript_pairs", transcript_edge_pairs(transcripts)
+        )
         nodes = node_ids(pairs, mode="hash")
         edges = (
             pairs.select(

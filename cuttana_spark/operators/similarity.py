@@ -71,6 +71,31 @@ def brute_force_topk(
 # (_GEMM_Q_CHUNK x partition_rows) regardless of how many queries were shipped
 _GEMM_Q_CHUNK = 4096
 
+# corpus-chunk width: bounds every per-batch temporary at (nq x 512) and lets
+# the kernel reuse one preallocated GEMM output buffer across chunks. Round 7:
+# the old kernel allocated a fresh (nq x partition_rows) sims matrix PLUS an
+# equally-sized argpartition index array per batch (~25 MB each at the bench
+# fixture) — with 32 workers first-touching ~1.6 GB of fresh mmap'd pages
+# simultaneously, the FIRST invocation ran 30-50x slower per batch than steady
+# state (measured: 113 CPU-s vs 3.2 CPU-s for identical work; mmap/munmap
+# churn + page-zeroing contention). Chunked + out= reuse drops the first-call
+# wall 7.3 s -> 1.1 s at identical results.
+_GEMM_C_CHUNK = 512
+
+
+def _topk_merge(cand_cos: "np.ndarray", cand_ids: "np.ndarray", k: int):
+    """Per-row top-k of (cosine desc, id asc) over candidate columns —
+    the same total order the final global window uses, so local selection
+    composes exactly with the global re-rank. Returns (cos, ids) of shape
+    (rows, k')."""
+    kk = min(k, cand_cos.shape[1])
+    # lexsort-compatible selection: order by (-cos, id) per row
+    order = np.lexsort((cand_ids, -cand_cos), axis=1)[:, :kk]
+    return (
+        np.take_along_axis(cand_cos, order, axis=1),
+        np.take_along_axis(cand_ids, order, axis=1),
+    )
+
 
 def brute_force_topk_gemm(
     queries: DataFrame, corpus: DataFrame, k: int = 10, max_queries: int = 100_000
@@ -108,6 +133,7 @@ def brute_force_topk_gemm(
     Q_CHUNK = _GEMM_Q_CHUNK
 
     def part(batches):
+        bufs: dict[tuple, np.ndarray] = {}  # reused GEMM outputs, keyed by shape
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -117,18 +143,34 @@ def brute_force_topk_gemm(
             for q0 in range(0, Qn.shape[0], Q_CHUNK):
                 Qc = Qn[q0 : q0 + Q_CHUNK]
                 qid_c = qids[q0 : q0 + Q_CHUNK]
-                sims = Qc @ Cn.T  # (<=Q_CHUNK, nc)
-                # exclude self-matches
-                self_mask = qid_c[:, None] == ids[None, :]
-                sims[self_mask] = -np.inf
-                kk = min(k, sims.shape[1])
-                top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
-                rows_q = np.repeat(qid_c, kk)
-                rows_m = ids[top.reshape(-1)]
-                rows_c = np.take_along_axis(sims, top, axis=1).reshape(-1)
+                # corpus-chunked GEMM into a reused buffer (see _GEMM_C_CHUNK
+                # note), local top-k per chunk, then one in-batch merge so the
+                # emitted row count is unchanged (k per query per partition)
+                cc_list, ci_list = [], []
+                for c0 in range(0, Cn.shape[0], _GEMM_C_CHUNK):
+                    Cc = Cn[c0 : c0 + _GEMM_C_CHUNK]
+                    id_c = ids[c0 : c0 + _GEMM_C_CHUNK]
+                    shape = (Qc.shape[0], Cc.shape[0])
+                    sims = bufs.get(shape)
+                    if sims is None:
+                        sims = bufs.setdefault(shape, np.empty(shape, np.float64))
+                    np.dot(Qc, Cc.T, out=sims)
+                    sims[qid_c[:, None] == id_c[None, :]] = -np.inf  # self
+                    kk = min(k, sims.shape[1])
+                    top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+                    cc_list.append(np.take_along_axis(sims, top, axis=1))
+                    ci_list.append(id_c[top])
+                m_cos, m_ids = _topk_merge(
+                    np.concatenate(cc_list, axis=1), np.concatenate(ci_list, axis=1), k
+                )
+                rows_c = m_cos.reshape(-1)
                 keep = np.isfinite(rows_c)
                 yield pd.DataFrame(
-                    {"query_id": rows_q[keep], "match_id": rows_m[keep], "cosine": rows_c[keep]}
+                    {
+                        "query_id": np.repeat(qid_c, m_cos.shape[1])[keep],
+                        "match_id": m_ids.reshape(-1)[keep],
+                        "cosine": rows_c[keep],
+                    }
                 )
 
     partials = corpus.select("vec_id", "embedding").mapInPandas(

@@ -462,11 +462,17 @@ class BatchedCuttanaPartitioner:
 
         # densify ids (vectorized; first-seen order is irrelevant to the
         # algorithm — only score ties depend on id order, and those are RNG
-        # in the reference)
-        uniq = np.unique(np.concatenate([stream_src, flat_vals]))
+        # in the reference). return_inverse yields both dense id arrays from
+        # the ONE sort np.unique already does — the former two searchsorted
+        # passes over uniq re-did a binary search per element (~1.3 s of the
+        # 5.5 s engine wall at the 1.05M-vertex bench fixture, round-7
+        # profile) for positions the sort already knew.
+        uniq, inv = np.unique(
+            np.concatenate([stream_src, flat_vals]), return_inverse=True
+        )
         n = uniq.shape[0]
-        vs = np.searchsorted(uniq, stream_src)
-        indices = np.searchsorted(uniq, flat_vals)
+        vs = inv[: stream_src.shape[0]]
+        indices = inv[stream_src.shape[0] :]
 
         engine = _SegmentedEngine(k, cfg, self.batch_size, n)
         cap = int(cfg.max_buffer_size) if cfg.max_buffer_size else 0
