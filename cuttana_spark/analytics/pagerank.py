@@ -180,22 +180,82 @@ def _pagerank_impl(
             ranks = ck.checkpoint(ranks)
     # fresh start: ranks is nodes(cached) + a literal column — lineage is
     # already minimal, a checkpoint here would only cost an extra job
+
+    # FUSED fixed-iteration mode (round 7): between checkpoint boundaries the
+    # full ranks table is never materialized as a relation — the state is
+    # (contribs, dangling_mass), and a vertex's score is the EXPRESSION
+    # cst + α·(coalesce(contrib, 0) + dm/n), identical to the one the
+    # materialized table held. The per-superstep `nodes ⋈ contribs` left
+    # join (a V-row scan + sort-merge per superstep whose only purpose was
+    # re-introducing zero-in-degree vertices) disappears; the transition
+    # join attaches scores by LEFT-joining contribs onto trans.src and
+    # computing the same expression inline. Scores at boundaries are built
+    # with the exact formula/relations of the unfused superstep. Only active
+    # when no convergence test or resume runner needs the full table.
+    use_fused = tol <= 0 and runner is None
+    fused_state = None  # (contribs, dm_prev) when ranks is implicit
+
+    def _attach_scores(rel, key_col, contribs, dm_prev):
+        """LEFT-join contribs onto rel[key_col]; returns (df, score_column)
+        computing the implicit per-vertex score."""
+        c = contribs.select(F.col("dst").alias("_cv"), "contrib")
+        out = rel.join(c, F.col(key_col) == F.col("_cv"), "left")
+        if has_dangling:
+            out = out.crossJoin(F.broadcast(dm_prev))
+            extra = F.col("dangling_mass") / F.lit(float(n))
+        else:
+            extra = F.lit(0.0)
+        score = F.lit((1.0 - alpha) / n) + F.lit(alpha) * (
+            F.coalesce(F.col("contrib"), F.lit(0.0)) + extra
+        )
+        return out, score
+
     for it in range(start_iter, max_iter):
         _t_it = _time.monotonic() if iter_walls is not None else 0.0
-        contribs = (
-            trans.join(ranks, trans.src == ranks.vertex)
-            .groupBy("dst")
-            .agg(F.sum(F.col("p") * F.col("score")).alias("contrib"))
+        if fused_state is not None:
+            pc, pdm = fused_state
+            att, pscore = _attach_scores(trans, "src", pc, pdm)
+            contribs = att.groupBy("dst").agg(
+                F.sum(F.col("p") * pscore).alias("contrib")
+            )
+            dm = None
+            if has_dangling:
+                datt, dscore = _attach_scores(dangling_nodes, "vertex", pc, pdm)
+                dm = datt.agg(
+                    F.coalesce(F.sum(dscore), F.lit(0.0)).alias("dangling_mass")
+                )
+        else:
+            contribs = (
+                trans.join(ranks, trans.src == ranks.vertex)
+                .groupBy("dst")
+                .agg(F.sum(F.col("p") * F.col("score")).alias("contrib"))
+            )
+            dm = None
+            if has_dangling:
+                # fold the dangling-mass scalar INTO the plan via a broadcast
+                # crossJoin of the 1-row aggregate — no per-superstep driver
+                # action, so fixed-iteration runs stay a single lazy DAG even
+                # on graphs with dangling vertices
+                dm = dangling_nodes.join(ranks, "vertex").agg(
+                    F.coalesce(F.sum("score"), F.lit(0.0)).alias("dangling_mass")
+                )
+        boundary = (
+            tol > 0
+            or runner is not None
+            or (it + 1) % checkpoint_interval == 0
+            or it + 1 == max_iter
         )
+        if use_fused and not boundary:
+            fused_state = (contribs, dm)
+            if iter_walls is not None:
+                iter_walls.append(_time.monotonic() - _t_it)
+            continue
+        # materialize the full ranks table (and truncate lineage/plan
+        # growth) only at boundaries — intermediate supersteps live as
+        # shuffle outputs that Spark reuses, so a fixed-iteration run
+        # executes as ONE dag with no per-superstep driver round-trip
         joined = nodes.join(contribs, nodes.vertex == contribs.dst, "left")
         if has_dangling:
-            # fold the dangling-mass scalar INTO the plan via a broadcast
-            # crossJoin of the 1-row aggregate — no per-superstep driver
-            # action, so fixed-iteration runs stay a single lazy DAG even on
-            # graphs with dangling vertices
-            dm = dangling_nodes.join(ranks, "vertex").agg(
-                F.coalesce(F.sum("score"), F.lit(0.0)).alias("dangling_mass")
-            )
             joined = joined.crossJoin(F.broadcast(dm))
             extra = F.col("dangling_mass") / F.lit(float(n))
         else:
@@ -207,12 +267,8 @@ def _pagerank_impl(
                 + F.lit(alpha) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + extra)
             ).alias("score"),
         )
-        # materialize (truncate lineage/plan growth) only periodically —
-        # intermediate supersteps live as shuffle outputs that Spark reuses,
-        # so a fixed-iteration run executes as ONE dag with no per-superstep
-        # driver round-trip
-        if tol > 0 or runner is not None or (it + 1) % checkpoint_interval == 0 or it + 1 == max_iter:
-            new_ranks = ck.checkpoint(new_ranks)
+        new_ranks = ck.checkpoint(new_ranks)
+        fused_state = None
         if tol > 0:
             err = (
                 new_ranks.alias("a")

@@ -196,7 +196,9 @@ def simhash(
     JVM hash, ~10x cheaper than md5). Packing uses shiftleft + bitwiseOR so
     bit 63 wraps into the sign bit instead of overflowing ANSI arithmetic.
     """
-    words = df.select(
+    from cuttana_spark.operators.text import spread_small_input
+
+    words = spread_small_input(df).select(
         "doc_id", F.explode(F.split(normalized(F.col(text_col)), " ")).alias("w")
     ).filter(F.col("w") != "")
     if hash_fn == "xxhash64":

@@ -139,39 +139,120 @@ def ivf_probe_gemm(
     queries: DataFrame,
     nprobe: int = 8,
     k: int = 10,
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """IVF SEARCH phase against a prebuilt index (ivf_index_gemm): per query
     probe the nprobe nearest centroids and GEMM re-rank within those cells —
     work is O(nq · nprobe/n_cells · |corpus| · dim), independent of the
-    index build."""
+    index build.
+
+    Round 7 (probe-floor cut): when the query set fits on the driver
+    (<= max_broadcast_queries, same contract as brute_force_topk_gemm), the
+    quantizer probe AND the within-cell scoring run in ONE mapInPandas pass
+    over the cell-partitioned cached index: the per-query probe set is
+    computed driver-side (nq × n_cells GEMM — trivial) and shipped in the
+    closure, so the plan has NO query-side exchange and NO cogroup sort —
+    the only distributed work is one scan of the cached cells. Candidates,
+    cosines and the final (cosine desc, match_id asc) top-k window are
+    unchanged. Larger query sets keep the fully-distributed cogroup path."""
     import pandas as pd
 
     from cuttana_spark.operators.similarity import _grouped_topk_gemm
+    from pyspark.sql import Window
 
     C = centroids
+    nq_total = queries.count()
+    if nq_total > max_broadcast_queries:
+        def probe(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+                sims = Xn @ C.T
+                npb = min(nprobe, sims.shape[1])
+                top = np.argpartition(-sims, kth=npb - 1, axis=1)[:, :npb].astype(np.int32)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["vec_id"].to_numpy().repeat(npb),
+                        "qe": pdf["embedding"].to_numpy().repeat(npb),
+                        "cell": top.reshape(-1),
+                    }
+                )
 
-    def probe(batches):
+        emb_t = dict(queries.dtypes)["embedding"]
+        qb = queries.select("vec_id", "embedding").mapInPandas(
+            probe, f"query_id long, qe {emb_t}, cell int"
+        )
+        return _grouped_topk_gemm(qb, cells, k, "cell")
+
+    qrows = queries.select("vec_id", "embedding").collect()
+    qids = np.array([r.vec_id for r in qrows], np.int64)
+    Q = np.array([list(r.embedding) for r in qrows], np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    sims_c = Qn @ C.T
+    npb = min(nprobe, sims_c.shape[1])
+    top_cells = np.argpartition(-sims_c, kth=npb - 1, axis=1)[:, :npb]
+    # cell -> (row indices of probing queries), built once on the driver
+    cell_q: dict[int, np.ndarray] = {}
+    flat = top_cells.reshape(-1)
+    order = np.argsort(flat, kind="stable")
+    qrow_of = np.repeat(np.arange(Qn.shape[0]), npb)[order]
+    cs = flat[order]
+    brk = np.flatnonzero(np.concatenate([[True], cs[1:] != cs[:-1]]))
+    for s, e in zip(brk, np.append(brk[1:], cs.shape[0])):
+        cell_q[int(cs[s])] = qrow_of[s:e]
+
+    def part(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            sims = Xn @ C.T
-            npb = min(nprobe, sims.shape[1])
-            top = np.argpartition(-sims, kth=npb - 1, axis=1)[:, :npb].astype(np.int32)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["vec_id"].to_numpy().repeat(npb),
-                    "qe": pdf["embedding"].to_numpy().repeat(npb),
-                    "cell": top.reshape(-1),
-                }
-            )
+            cells_col = pdf["cell"].to_numpy(np.int64)
+            ids = pdf["match_id"].to_numpy(np.int64)
+            E = np.stack(pdf["ce"].to_numpy()).astype(np.float64)
+            En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+            ordc = np.argsort(cells_col, kind="stable")
+            cc = cells_col[ordc]
+            starts = np.flatnonzero(np.concatenate([[True], cc[1:] != cc[:-1]]))
+            outs = []
+            for s, e in zip(starts, np.append(starts[1:], cc.shape[0])):
+                cell = int(cc[s])
+                qr = cell_q.get(cell)
+                if qr is None:
+                    continue
+                rows = ordc[s:e]
+                Cn = En[rows]
+                mids = ids[rows]
+                qv = Qn[qr]
+                qi = qids[qr]
+                sims = qv @ Cn.T
+                sims[qi[:, None] == mids[None, :]] = -np.inf
+                kk = min(k, sims.shape[1])
+                topm = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+                cos = np.take_along_axis(sims, topm, axis=1).reshape(-1)
+                keep = np.isfinite(cos)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(qi, kk)[keep],
+                            "match_id": mids[topm.reshape(-1)][keep],
+                            "cosine": cos[keep],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
 
-    emb_t = dict(queries.dtypes)["embedding"]
-    qb = queries.select("vec_id", "embedding").mapInPandas(
-        probe, f"query_id long, qe {emb_t}, cell int"
+    partials = cells.select("match_id", "ce", "cell").mapInPandas(
+        part, "query_id long, match_id long, cosine double"
     )
-    return _grouped_topk_gemm(qb, cells, k, "cell")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (
+        partials.dropDuplicates(["query_id", "match_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )
 
 
 def ivf_topk_gemm(

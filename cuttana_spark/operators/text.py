@@ -99,9 +99,28 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", portable_hash64(normalized(F.col(text_col))))
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a df whose scan has fewer partitions than the
+    session parallelism (guide §2.5 "input skew: fix at the source or
+    repartition immediately after the read"). A small parquet file scans as
+    ONE split, so every per-row transform chained on it runs on one core —
+    measured round 7: the shingle explode over the 5,000-doc bench corpus
+    spent 7.9 s single-threaded vs ~0.6 s spread over 32. Inputs that are
+    already at least as parallel as the session (any real at-scale table)
+    are returned UNCHANGED — no extra exchange on the 100 TB path."""
+    try:
+        sc = df.sparkSession.sparkContext
+        if df.rdd.getNumPartitions() < sc.defaultParallelism:
+            return df.repartition(sc.defaultParallelism)
+    except Exception:
+        pass
+    return df
+
+
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Word n-gram shingle set per doc: (doc_id, shingle). Built from
     normalized words with a JVM-side transform over a sequence — no UDF."""
+    df = spread_small_input(df)
     words = F.split(normalized(F.col(text_col)), " ")
     n_sh = F.size(words) - (n - 1)
     # sequence(0, -1) would generate a DESCENDING range — guard empty docs

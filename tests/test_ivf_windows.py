@@ -79,12 +79,27 @@ def test_ivf_index_probe_split_equals_monolithic(spark, sf_dir):
     a = sorted(map(tuple, probe.select("query_id", "rank", "match_id").collect()))
     b = sorted(map(tuple, mono.select("query_id", "rank", "match_id").collect()))
     assert a == b
-    plan = probe._jdf.queryExecution().executedPlan().toString()
-    cell_shuffles = [
-        l
-        for l in plan.splitlines()
-        if "hashpartitioning(cell" in l and "ENSURE_REQUIREMENTS" in l
-    ]
-    assert len(cell_shuffles) == 1, cell_shuffles  # query side only
+    def cell_shuffles(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [
+            l
+            for l in plan.splitlines()
+            if "hashpartitioning(cell" in l and "ENSURE_REQUIREMENTS" in l
+        ]
+
+    # round 7 broadcast-probe path: the probe set ships in the closure and
+    # scoring is one mapInPandas over the cached cell-partitioned index —
+    # NO cell exchange anywhere in the plan (round 6 asserted exactly one,
+    # the query side; that exchange is gone too)
+    assert cell_shuffles(probe) == []
+    # the distributed (cogroup) path is still the big-query fallback and
+    # still elides the corpus-side exchange: exactly ONE cell exchange,
+    # the O(nq·nprobe) query side
+    probe_dist = ivf_probe_gemm(cells, C, q, nprobe=3, k=5, max_broadcast_queries=0)
+    a2 = sorted(
+        map(tuple, probe_dist.select("query_id", "rank", "match_id").collect())
+    )
+    assert a2 == b
+    assert len(cell_shuffles(probe_dist)) == 1, cell_shuffles(probe_dist)
     cells.unpersist(False)
     emb.unpersist(False)
