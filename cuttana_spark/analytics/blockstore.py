@@ -84,7 +84,7 @@ _FP_MARKER = "_CUTTANA_STORE_FP"
 
 
 def store_fingerprint(
-    trans: DataFrame, vertex_partitions: DataFrame, src_pid=None
+    trans: DataFrame, vertex_partitions: DataFrame, src_pid=None, kind: str = ""
 ) -> str:
     """Identity of a packed store: the analyzed input plans' semanticHash
     (edges + partition map), the routing expression, and the pack layout
@@ -95,7 +95,12 @@ def store_fingerprint(
     payload over the same map (e.g. k-core, LPA and CC all packing the
     symmetric unit-weight graph via analytics.sym_unit_trans) produce equal
     fingerprints and share one pack; PageRank's transition-weighted payload
-    hashes differently and gets its own store."""
+    hashes differently and gets its own store (graphstore.trans_graph is its
+    canonical descriptor). ``kind`` (round 7): an explicit payload-kind tag
+    ("sym-unit" / "trans") carried in the fingerprint alongside the plan
+    hashes — the hashes already distinguish the payloads, the tag makes the
+    marker file self-describing and guards the (astronomically unlikely but
+    silent) cross-payload hash collision."""
     try:
         h1 = str(trans._jdf.queryExecution().analyzed().semanticHash())
         h2 = str(
@@ -104,11 +109,12 @@ def store_fingerprint(
     except Exception:
         return "na"
     sp = "none" if src_pid is None else str(src_pid._jc)
-    return f"pack{PACK_VERSION}|{h1}|{h2}|{sp}"
+    return f"pack{PACK_VERSION}|{kind}|{h1}|{h2}|{sp}"
 
 
 def write_block_store(
-    trans: DataFrame, vertex_partitions: DataFrame, path: str, src_pid=None
+    trans: DataFrame, vertex_partitions: DataFrame, path: str, src_pid=None,
+    kind: str = "",
 ) -> None:
     """Pack CSR blocks (one edge shuffle, csr.pack_blocks) and write them as
     a parquet dataset partitioned by partition_id. ``trans``: (src, dst, p).
@@ -121,13 +127,14 @@ def write_block_store(
     pack_blocks(trans, vertex_partitions, src_pid=src_pid).write.partitionBy(
         "partition_id"
     ).mode("overwrite").parquet(path)
-    fp = store_fingerprint(trans, vertex_partitions, src_pid=src_pid)
+    fp = store_fingerprint(trans, vertex_partitions, src_pid=src_pid, kind=kind)
     with open(os.path.join(path, _FP_MARKER), "w") as fh:
         fh.write(fp)
 
 
 def ensure_block_store(
-    trans: DataFrame, vertex_partitions: DataFrame, path: str, src_pid=None
+    trans: DataFrame, vertex_partitions: DataFrame, path: str, src_pid=None,
+    kind: str = "",
 ) -> None:
     """write_block_store unless ``path`` already holds a completed store
     packed from THESE inputs: reuse requires both the _SUCCESS marker and a
@@ -139,7 +146,7 @@ def ensure_block_store(
     spool guard): the hash is plan-level, so the same plan re-read over
     files mutated in place is not detected."""
     if os.path.exists(os.path.join(path, "_SUCCESS")):
-        fp = store_fingerprint(trans, vertex_partitions, src_pid=src_pid)
+        fp = store_fingerprint(trans, vertex_partitions, src_pid=src_pid, kind=kind)
         try:
             with open(os.path.join(path, _FP_MARKER)) as fh:
                 on_disk = fh.read()
@@ -147,7 +154,7 @@ def ensure_block_store(
             on_disk = ""
         if fp != "na" and fp == on_disk:
             return
-    write_block_store(trans, vertex_partitions, path, src_pid=src_pid)
+    write_block_store(trans, vertex_partitions, path, src_pid=src_pid, kind=kind)
 
 
 # ---------------------------------------------------------------------------

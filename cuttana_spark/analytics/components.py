@@ -185,7 +185,10 @@ def _connected_components_impl(
                 gather_min_resident,
             )
 
-            ensure_block_store(sym, vp, block_store, src_pid=_pid_of(F.col("src")))
+            ensure_block_store(
+                sym, vp, block_store, src_pid=_pid_of(F.col("src")),
+                kind="sym-unit",
+            )
             blocks = None
             _gather = lambda lbls: gather_min_resident(spark, block_store, lbls)
         else:

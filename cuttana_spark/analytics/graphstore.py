@@ -20,7 +20,10 @@ never results — callers that want Cuttana locality pass vertex_partitions
 explicitly and forgo cross-algorithm sharing.
 
 PageRank packs transition WEIGHTS (p = w/deg), a different payload that
-correctly hashes to its own store.
+correctly hashes to its own store — `trans_graph` (round 7) is its
+canonical descriptor over the SAME hash routing family, so a
+pagerank → k-core → LPA → CC pipeline pays exactly TWO packs (sym-unit +
+trans), each reused fingerprint-checked by every consumer.
 """
 
 from __future__ import annotations
@@ -60,6 +63,36 @@ def sym_unit_graph(edges: DataFrame, n_partitions: int):
     nodes = (
         edges.select(F.col("src").alias("vertex"))
         .unionAll(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    vp = nodes.select("vertex", pid_of(F.col("vertex")).alias("partition_id"))
+    return trans, vp, pid_of
+
+
+def trans_graph(edges: DataFrame, n_partitions: int):
+    """Canonical (trans, vp, pid_of) for the transition-weighted store —
+    PageRank's payload — over the SAME hash routing family as
+    sym_unit_graph (round 7, VERDICT r6 item 6).
+
+    trans: column-stochastic p = w / Σ_src w over the DIRECTED edge table
+    exactly as pagerank_csr builds it (window over src — bit-identical p on
+    count-weighted graphs); vp: every endpoint, expression-mapped. Two
+    callers passing the SAME edges DataFrame and k produce semantically
+    identical plans, so `ensure_block_store` reuses one pack across repeated
+    PageRank runs, and a pagerank → k-core → LPA → CC pipeline pays exactly
+    two packs total (this one + sym_unit_graph's)."""
+    from pyspark.sql import Window
+
+    pid_of = hash_partition_expr(n_partitions)
+    e = edges.select("src", "dst", F.col("weight").cast("double"))
+    trans = e.select(
+        "src",
+        "dst",
+        (F.col("weight") / F.sum("weight").over(Window.partitionBy("src"))).alias("p"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("vertex"))
+        .unionAll(e.select(F.col("dst").alias("vertex")))
         .distinct()
     )
     vp = nodes.select("vertex", pid_of(F.col("vertex")).alias("partition_id"))

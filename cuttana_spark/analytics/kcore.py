@@ -86,7 +86,10 @@ def k_core_csr(
             scatter_gather_resident,
         )
 
-        ensure_block_store(trans, vp, block_store, src_pid=src_pid)
+        ensure_block_store(
+            trans, vp, block_store, src_pid=src_pid,
+            kind="sym-unit" if src_pid is not None else "",
+        )
         blocks = None
         gather = lambda f: scatter_gather_resident(spark, block_store, f)
     elif bucketed_table is not None:

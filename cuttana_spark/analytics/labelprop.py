@@ -139,7 +139,10 @@ def label_propagation_csr(
             gather_label_counts_resident,
         )
 
-        ensure_block_store(trans, vp, block_store, src_pid=src_pid)
+        ensure_block_store(
+            trans, vp, block_store, src_pid=src_pid,
+            kind="sym-unit" if src_pid is not None else "",
+        )
         blocks = None
         gather = lambda f: gather_label_counts_resident(spark, block_store, f)
     elif bucketed_table is not None:

@@ -296,7 +296,7 @@ def _pagerank_impl(
 def pagerank_csr(
     spark: SparkSession,
     edges: DataFrame,
-    vertex_partitions: DataFrame,
+    vertex_partitions: DataFrame | None,
     alpha: float = 0.85,
     max_iter: int = 100,
     tol: float = 1e-10,
@@ -306,6 +306,7 @@ def pagerank_csr(
     checkpoint_interval: int = 5,
     iter_walls: list | None = None,
     block_store: str | None = None,
+    hash_partitions: int | None = None,
 ) -> DataFrame:
     """PageRank via CSR-block gather-scatter (see module docstring).
 
@@ -332,47 +333,93 @@ def pagerank_csr(
     touch and cached in-process (blockstore.py). This removes the
     per-superstep O(E) Arrow transfer that dominates the cogroup modes on
     dense graphs; scores are bit-identical (same kernels).
+
+    hash_partitions (round 7, VERDICT r6 item 6): pass an int INSTEAD of
+    vertex_partitions to use the canonical expression map + transition
+    payload (graphstore.trans_graph) — the same routing family k-core / LPA
+    / CC share. The O(E)⋈O(V) routing join is skipped (the map is an
+    expression), the per-call V⋈V vp attach is a codegen expression, and
+    with block_store set the store fingerprint matches any other
+    trans_graph pack over the same edges DataFrame and k: a pagerank →
+    k-core → LPA → CC pipeline pays exactly TWO packs (trans + sym-unit).
+    Scores are identical to the vertex_partitions mode (partition maps
+    affect only locality).
     """
     from pyspark.sql import Window
 
     from cuttana_spark.analytics.csr import pack_blocks, scatter_gather
 
+    if (vertex_partitions is None) == (hash_partitions is None):
+        raise ValueError("pass exactly one of vertex_partitions / hash_partitions")
     if bucketed_table is not None and block_store is not None:
         raise ValueError("pass at most one of bucketed_table / block_store")
+    src_pid = None
+    pid_of = None
+    kind = ""
+    if hash_partitions is not None:
+        from cuttana_spark.analytics.graphstore import trans_graph
+
+        # canonical plans built from the ORIGINAL edges df — fingerprint
+        # equality across callers requires the same construction
+        trans, vp_canon, pid_of = trans_graph(edges, hash_partitions)
+        src_pid = pid_of(F.col("src"))
+        kind = "trans"
     edges = edges.select("src", "dst", F.col("weight").cast("double"))
-    # window-built transition matrix — see pagerank(): no out_w subtree,
-    # bit-identical p on count-weighted graphs
-    trans = edges.select(
-        "src",
-        "dst",
-        (F.col("weight") / F.sum("weight").over(Window.partitionBy("src"))).alias("p"),
-    )
+    if hash_partitions is None:
+        # window-built transition matrix — see pagerank(): no out_w subtree,
+        # bit-identical p on count-weighted graphs
+        trans = edges.select(
+            "src",
+            "dst",
+            (F.col("weight") / F.sum("weight").over(Window.partitionBy("src"))).alias(
+                "p"
+            ),
+        )
     if block_store is not None:
         from cuttana_spark.analytics.blockstore import (
             ensure_block_store,
             scatter_gather_resident,
         )
 
-        ensure_block_store(trans, vertex_partitions, block_store)
+        ensure_block_store(
+            trans,
+            vp_canon if hash_partitions is not None else vertex_partitions,
+            block_store,
+            src_pid=src_pid,
+            kind=kind,
+        )
         blocks = None
         gather = lambda frontier: scatter_gather_resident(
             spark, block_store, frontier
         )
     elif bucketed_table is not None:
         if not spark.catalog.tableExists(bucketed_table):
-            k = num_buckets or int(
-                vertex_partitions.agg(F.max("partition_id")).first()[0]
-            ) + 1
-            pack_blocks(trans, vertex_partitions).write.bucketBy(
+            if hash_partitions is not None:
+                k = hash_partitions
+                pack_src = vp_canon
+            else:
+                k = num_buckets or int(
+                    vertex_partitions.agg(F.max("partition_id")).first()[0]
+                ) + 1
+                pack_src = vertex_partitions
+            pack_blocks(trans, pack_src, src_pid=src_pid).write.bucketBy(
                 k, "partition_id"
             ).mode("overwrite").saveAsTable(bucketed_table)
         blocks = spark.table(bucketed_table)
         gather = lambda frontier: scatter_gather(spark, blocks, frontier)
     else:
-        blocks = pack_blocks(trans, vertex_partitions).cache()
+        blocks = pack_blocks(
+            trans,
+            vp_canon if hash_partitions is not None else vertex_partitions,
+            src_pid=src_pid,
+        ).cache()
         blocks.count()  # materialize once; reused every superstep
         gather = lambda frontier: scatter_gather(spark, blocks, frontier)
-    vp = vertex_partitions.select("vertex", "partition_id")
+    vp = (
+        vertex_partitions.select("vertex", "partition_id")
+        if hash_partitions is None
+        else None
+    )
     # carry partition_id through the loop so each superstep needs no extra
     # score→partition join (vertices without a partition — possible only for
     # dangling-only ids — contribute nothing and keep pid -1). The dangling
@@ -386,15 +433,21 @@ def pagerank_csr(
         .groupBy("vertex")
         .agg(F.max("_has_out").alias("_has_out"))
     )
-    nodes_flags = (
-        vflags.join(vp, "vertex", "left")
-        .select(
-            "vertex",
-            F.coalesce("partition_id", F.lit(-1)).alias("partition_id"),
-            "_has_out",
+    if hash_partitions is not None:
+        # expression map: the pid attach is free codegen, no V⋈V join
+        nodes_flags = vflags.select(
+            "vertex", pid_of(F.col("vertex")).alias("partition_id"), "_has_out"
+        ).cache()
+    else:
+        nodes_flags = (
+            vflags.join(vp, "vertex", "left")
+            .select(
+                "vertex",
+                F.coalesce("partition_id", F.lit(-1)).alias("partition_id"),
+                "_has_out",
+            )
+            .cache()
         )
-        .cache()
-    )
     row = nodes_flags.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("_has_out") == 0, 1).otherwise(0)).alias("n_dangling"),

@@ -51,7 +51,7 @@ def main() -> None:
 
     import cuttana_spark.analytics.blockstore as B
     from cuttana_spark.analytics.components import connected_components
-    from cuttana_spark.analytics.graphstore import sym_unit_graph
+    from cuttana_spark.analytics.graphstore import sym_unit_graph, trans_graph
 
     # ring + 4 deterministic-hash random edges per vertex -> E = 5V
     ring = spark.range(verts).select(
@@ -70,9 +70,58 @@ def main() -> None:
     trans, vp, pid_of = sym_unit_graph(edges, cpus)
 
     t0 = time.monotonic()
-    B.ensure_block_store(trans, vp, store, src_pid=pid_of(F.col("src")))
+    B.ensure_block_store(
+        trans, vp, store, src_pid=pid_of(F.col("src")), kind="sym-unit"
+    )
     pack_wall = round(time.monotonic() - t0, 3)
     key_after_pack = B._store_key(store)
+
+    # ---- round 7 (VERDICT r6 item 6): 4-algorithm pipeline, exactly 2 packs.
+    # PageRank packs the transition payload (trans_graph) into its own store;
+    # k-core, LPA and CC share the sym-unit store above. A SECOND pagerank
+    # run over the same edges must reuse the trans pack fingerprint-checked
+    # (no repack), exactly like the sym-unit consumers.
+    from cuttana_spark.analytics.kcore import k_core_csr
+    from cuttana_spark.analytics.labelprop import label_propagation_csr
+    from cuttana_spark.analytics.pagerank import pagerank_csr
+
+    wedges = edges.withColumn("weight", F.lit(1).cast("long"))
+    sym_w = wedges.unionAll(
+        wedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    pr_store = os.path.join(os.path.dirname(store), "pr_blocks")
+    t0 = time.monotonic()
+    pagerank_csr(
+        spark, sym_w, None, max_iter=3, tol=0.0,
+        block_store=pr_store, hash_partitions=cpus,
+    ).agg(F.sum("score")).collect()
+    pr_wall_first = round(time.monotonic() - t0, 3)
+    pr_key = B._store_key(pr_store)
+    t0 = time.monotonic()
+    pagerank_csr(
+        spark, sym_w, None, max_iter=3, tol=0.0,
+        block_store=pr_store, hash_partitions=cpus,
+    ).agg(F.sum("score")).collect()
+    pr_wall_reuse = round(time.monotonic() - t0, 3)
+    assert B._store_key(pr_store) == pr_key, "trans store was re-packed!"
+    t0 = time.monotonic()
+    k_core_csr(
+        spark, edges, None, k=2, block_store=store, hash_partitions=cpus
+    ).count()
+    kcore_wall = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    label_propagation_csr(
+        spark, edges, None, max_iter=3, block_store=store, hash_partitions=cpus
+    ).count()
+    lpa_wall = round(time.monotonic() - t0, 3)
+    assert B._store_key(store) == key_after_pack, "sym-unit store re-packed!"
+    pipeline = {
+        "pr_pack_plus_3_supersteps": pr_wall_first,
+        "pr_reuse_3_supersteps": pr_wall_reuse,
+        "kcore_wall_shared_store": kcore_wall,
+        "lpa_wall_shared_store": lpa_wall,
+        "packs_total": 2,
+    }
 
     star_walls, accel_walls = [], []
     star_rounds = accel_rounds_ran = None
@@ -130,10 +179,12 @@ def main() -> None:
                     min(star_walls) / min(accel_walls), 2
                 ),
                 "store_reused_without_repack": True,
+                "pipeline_two_packs": pipeline,
             }
         )
     )
     B.drop_block_store(store)
+    B.drop_block_store(pr_store)
     spark.stop()
 
 

@@ -49,9 +49,19 @@ def main() -> None:
 
     sym = E.symmetrize(eids).repartition(32, "src")
 
-    from cuttana_spark.analytics.pagerank import pagerank as pagerank_df
+    # pagerank: capture the LAZY 5-superstep DAG (checkpoint monkeypatched to
+    # identity — the real call eagerly checkpoints the last superstep, whose
+    # plan is then just a LogicalRDD scan and shows nothing)
+    from cuttana_spark.plans.checkpoints import CheckpointCycler
 
-    dump("pagerank_df_5it", pagerank_df(spark, sym, max_iter=5, tol=0.0))
+    orig_ck = CheckpointCycler.checkpoint
+    CheckpointCycler.checkpoint = lambda self, df: df
+    try:
+        from cuttana_spark.analytics.pagerank import pagerank as pagerank_df
+
+        dump("pagerank_df_5it", pagerank_df(spark, sym, max_iter=5, tol=0.0))
+    finally:
+        CheckpointCycler.checkpoint = orig_ck
 
     # one CC round body (the loop is driver-side; the round plan is the unit)
     from cuttana_spark.analytics.components import _large_star, _small_star
