@@ -267,7 +267,15 @@ def _evict_for(base: str, need: int, keep_prefix: str) -> None:
     """Evict least-recently-used whole-partition groups under ``base`` until
     ``need`` more bytes fit in the budget (or nothing evictable remains).
     Meta is unlinked FIRST — its presence is the readers' commit point — so
-    a half-evicted group is never served."""
+    a half-evicted group is never served.
+
+    Accounting bound (ADVICE r6): usage counts COMMITTED groups only —
+    in-flight ``*.tmp<pid>`` files of concurrent builders and the new
+    group's meta.json are invisible to it, so with B concurrent builders
+    actual bytes can transiently exceed the budget by up to B×(largest
+    group)+meta sizes. The ENOSPC fallback in _build_arena catches the
+    physical limit; the configured budget is a steady-state bound, not a
+    hard cap during concurrent builds."""
     groups = _arena_groups(base)
     usage = sum(sz for _, sz, _ in groups)
     budget = _arena_budget(base, usage)
@@ -448,10 +456,16 @@ def load_blocks(path: str, pid: int) -> list:
             if blocks is not None:
                 break
         if blocks is None:
-            raise OSError(
-                f"arena for pid {pid} vanished from every base {bases} "
-                "immediately after build — arena churn exceeds the budget"
-            )
+            # terminal fallback (round 7, ADVICE r6): under a tiny arena
+            # budget with concurrent builders, a freshly built group can be
+            # evicted from every base before _load_arena runs. Decode the
+            # parquet partition straight into process memory instead of
+            # failing the superstep — the content is deterministic, so the
+            # only cost is this process forgoing the shared mmap (RSS for
+            # one partition), never a wrong or missing answer.
+            import pyarrow.parquet as pq
+
+            blocks = _decode_table(pq.read_table(part_dir))
     _CACHE[key] = blocks
     while len(_CACHE) > _CACHE_ENTRIES:
         _CACHE.popitem(last=False)

@@ -247,6 +247,13 @@ def _connected_components_impl(
         # once `out` is eagerly re-checkpointed below. Everything persisted
         # by the tail that this cycler does not track is released after the
         # checkpoint (the exact leak class CheckpointCycler exists to stop).
+        # SINGLE-THREADED-DRIVER ASSUMPTION (ADVICE r6): the diff-based
+        # sweep force-unpersists every RDD registered during the window that
+        # neither cycler tracks — caches persisted CONCURRENTLY by other
+        # jobs on this SparkSession would be swept too. Entry queries run
+        # sequentially so this holds today; a concurrent-driver caller must
+        # run CC on its own session (spark.newSession()) or accept the
+        # recompute of any cache it fills during this call.
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         before_ids = set(jmap.keys())
         tail = connected_components(
